@@ -1,0 +1,188 @@
+"""Two-view ViT: siamese encoder + dual cross-attention decoder + heads.
+
+Architecture spec (reference):
+- encoder: ViT-L/16, dim 1024, depth 24, heads 16, RoPE100, LN eps 1e-6
+  (`splatt3r_core/main.py:54-71`, `croco/models/croco.py:66-72`).
+- decoder: dim 768, depth 12, heads 12, two parallel block stacks
+  (dec_blocks / dec_blocks2), all 12 intermediate outputs retained for the
+  DPT hooks, final LN (`dust3r/dust3r/model.py:168-187`).
+- heads: GaussianHead per view over hooks [0, 6, 9, 12]
+  (`mast3r/catmlp_dpt_head.py:304-324`).
+
+TPU-native design: bf16 compute / fp32 params & LayerNorms; RoPE cos/sin
+tables computed once per view and fused into the attention einsums; the
+whole two-view forward is a single jittable pure function with static
+shapes (landscape orientation; the runtime transposes portrait frames).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from splatt3r_slam_tpu.models.heads import GaussianHead
+from splatt3r_slam_tpu.models.layers import (
+    Block,
+    DecoderBlock,
+    PatchEmbed,
+    rope_cos_sin,
+)
+
+
+class TwoViewConfig(NamedTuple):
+    enc_embed_dim: int = 1024
+    enc_depth: int = 24
+    enc_num_heads: int = 16
+    dec_embed_dim: int = 768
+    dec_depth: int = 12
+    dec_num_heads: int = 12
+    patch_size: int = 16
+    local_feat_dim: int = 24
+    sh_degree: int = 1
+    use_offsets: bool = False
+    rope_freq: float = 100.0
+    dtype: str = "bfloat16"  # transformer compute dtype
+    head_dtype: str = "float32"  # DPT/MLP head compute dtype
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def jhead_dtype(self):
+        return jnp.dtype(self.head_dtype)
+
+    def tiny(self):
+        """A scaled-down config for tests."""
+        return self._replace(
+            enc_embed_dim=64,
+            enc_depth=2,
+            enc_num_heads=2,
+            dec_embed_dim=48,
+            dec_depth=12,  # head hooks need depth 12
+            dec_num_heads=2,
+        )
+
+
+class Splatt3RModel(nn.Module):
+    """Full two-view network. Methods are exposed separately so the SLAM
+
+    runtime can jit encode / decode+heads independently (the keyframe's
+    encoder features are cached across frames, spec:
+    `splatt3r_slam/splatt3r_utils.py:580-607`).
+    """
+
+    cfg: TwoViewConfig
+
+    def setup(self):
+        c = self.cfg
+        dt = c.jdtype
+        self.patch_embed = PatchEmbed(c.patch_size, c.enc_embed_dim,
+                                      jnp.float32, name="patch_embed")
+        self.enc_blocks = [
+            Block(c.enc_embed_dim, c.enc_num_heads, 4, dt, name=f"enc_block_{i}")
+            for i in range(c.enc_depth)
+        ]
+        self.enc_norm = nn.LayerNorm(epsilon=1e-6, name="enc_norm")
+        self.decoder_embed = nn.Dense(c.dec_embed_dim, name="decoder_embed")
+        self.dec_blocks = [
+            DecoderBlock(c.dec_embed_dim, c.dec_num_heads, 4, dt,
+                         name=f"dec_block_{i}")
+            for i in range(c.dec_depth)
+        ]
+        self.dec_blocks2 = [
+            DecoderBlock(c.dec_embed_dim, c.dec_num_heads, 4, dt,
+                         name=f"dec_block2_{i}")
+            for i in range(c.dec_depth)
+        ]
+        self.dec_norm = nn.LayerNorm(epsilon=1e-6, name="dec_norm")
+        hd = c.jhead_dtype
+        self.head1 = GaussianHead(
+            c.enc_embed_dim, c.dec_embed_dim, c.local_feat_dim, c.patch_size,
+            c.sh_degree, c.use_offsets, hd, name="head1",
+        )
+        self.head2 = GaussianHead(
+            c.enc_embed_dim, c.dec_embed_dim, c.local_feat_dim, c.patch_size,
+            c.sh_degree, c.use_offsets, hd, name="head2",
+        )
+
+    def _enc_rope(self, pos):
+        d_half = self.cfg.enc_embed_dim // self.cfg.enc_num_heads // 2
+        return rope_cos_sin(pos, d_half, self.cfg.rope_freq)
+
+    def _dec_rope(self, pos):
+        d_half = self.cfg.dec_embed_dim // self.cfg.dec_num_heads // 2
+        return rope_cos_sin(pos, d_half, self.cfg.rope_freq)
+
+    def encode(self, img):
+        """img (B, H, W, 3) landscape → (tokens (B,N,C) fp32, pos (B,N,2))."""
+        x, pos = self.patch_embed(img)
+        cs = self._enc_rope(pos)
+        x = x.astype(self.cfg.jdtype)
+        for blk in self.enc_blocks:
+            x = blk(x, cs)
+        return self.enc_norm(x.astype(jnp.float32)), pos
+
+    def decode(self, f1, pos1, f2, pos2):
+        """Dual decoder; returns per-view hook lists [enc, d6, d9, d12·LN].
+
+        Keeping only the 4 hooked activations (instead of all 13 like the
+        reference) saves HBM without changing the computation — the heads
+        only consume hooks [0, 6, 9, 12] (`catmlp_dpt_head.py:297`).
+        """
+        c = self.cfg
+        cs1 = self._dec_rope(pos1)
+        cs2 = self._dec_rope(pos2)
+        hooks = {0: 0, c.dec_depth // 2: 1, 3 * c.dec_depth // 4: 2,
+                 c.dec_depth: 3}
+
+        out1 = [f1, None, None, None]
+        out2 = [f2, None, None, None]
+        x1 = self.decoder_embed(f1).astype(c.jdtype)
+        x2 = self.decoder_embed(f2).astype(c.jdtype)
+        for i, (b1, b2) in enumerate(zip(self.dec_blocks, self.dec_blocks2)):
+            nx1 = b1(x1, x2, cs1, cs2)
+            nx2 = b2(x2, x1, cs2, cs1)
+            x1, x2 = nx1, nx2
+            k = i + 1
+            if k in hooks and k != c.dec_depth:
+                out1[hooks[k]] = x1.astype(jnp.float32)
+                out2[hooks[k]] = x2.astype(jnp.float32)
+        out1[3] = self.dec_norm(x1.astype(jnp.float32))
+        out2[3] = self.dec_norm(x2.astype(jnp.float32))
+        return out1, out2
+
+    def apply_head(self, head_num, hook_tokens, image_size):
+        head = self.head1 if head_num == 1 else self.head2
+        return head(hook_tokens, image_size)
+
+    def __call__(self, img1, img2):
+        """Full two-view forward (spec: dust3r/model.py:198-207).
+
+        Returns (res1, res2) activation dicts; res2's pts3d/means live in
+        view1's frame (the cross prediction).
+        """
+        B, H, W, _ = img1.shape
+        f1, pos1 = self.encode(img1)
+        f2, pos2 = self.encode(img2)
+        d1, d2 = self.decode(f1, pos1, f2, pos2)
+        res1 = self.apply_head(1, d1, (H, W))
+        res2 = self.apply_head(2, d2, (H, W))
+        return res1, res2
+
+
+def init_model(cfg: TwoViewConfig, h: int, w: int, seed: int = 0):
+    """Random-init params for shape (1, h, w, 3) landscape inputs."""
+    model = Splatt3RModel(cfg)
+    img = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(seed), img, img)["params"]
+    return model, params
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def forward_pair(model: Splatt3RModel, params, img1, img2):
+    return model.apply({"params": params}, img1, img2)
