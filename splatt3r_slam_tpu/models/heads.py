@@ -60,11 +60,13 @@ def gaussian_postprocess(
     Channel split: [3 pts3d | 1 conf | 24 desc | 1 desc_conf | 3 offset |
     3 scales | 4 rot | 3·sh | 1 opacity].
     """
+    import numpy as _np
+
     fmap = fmap.astype(jnp.float32)
     splits = [3, 1, desc_dim, 1, 3, 3, 4, 3 * sh_degree, 1]
-    idx = jnp.cumsum(jnp.asarray(splits))[:-1]
+    idx = _np.cumsum(splits)[:-1].tolist()
     (pts3d, conf, desc, desc_conf, offset, scales, rotations, sh, opacities
-     ) = jnp.split(fmap, list(idx), axis=-1)
+     ) = jnp.split(fmap, idx, axis=-1)
 
     pts3d = reg_dense_depth_exp(pts3d)
     res = {

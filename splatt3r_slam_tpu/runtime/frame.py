@@ -1,0 +1,284 @@
+"""Frame state, keyframe store, and Gaussian pool (single-process).
+
+Re-design of the reference's shared-memory data plane
+(`splatt3r_slam/frame.py:17-463`). The reference needs cross-process CUDA
+shared tensors + locks for its 3-process pipeline; on TPU the runtime is a
+single host process with async dispatch, so:
+
+- `Frame` is a light host dataclass holding device arrays;
+- `KeyframeBuffer` keeps per-keyframe device arrays in host lists (append
+  is O(1), no ring-buffer copies, no locks) while exposing the same API
+  (append / last_keyframe / update_T_WCs / dirty tracking for viz);
+- `GaussianPool` replaces SharedGaussians with a preallocated device pool
+  written in fixed-size chunks (invalid gaussians carry opacity 0 so the
+  rasterizer ignores them — masking instead of boolean compaction), with
+  the same FIFO drop-oldest-half eviction policy (frame.py:421-434).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from enum import Enum
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatt3r_slam_tpu.lie import sim3
+
+
+class Mode(Enum):
+    INIT = 0
+    TRACKING = 1
+    RELOC = 2
+    TERMINATED = 3
+
+
+# -----------------------------------------------------------------------------
+# Pointmap fusion (spec: frame.py:52-116, six filtering modes)
+# -----------------------------------------------------------------------------
+
+FILTERING_MODES = (
+    "first",
+    "recent",
+    "best_score",
+    "indep_conf",
+    "weighted_pointmap",
+    "weighted_spherical",
+)
+
+
+@jax.jit
+def _fuse_weighted(X_old, C_old, X, C):
+    Xn = (C_old * X_old + C * X) / (C_old + C)
+    return Xn, C_old + C
+
+
+@jax.jit
+def _fuse_indep_conf(X_old, C_old, X, C):
+    m = C > C_old
+    return jnp.where(m, X, X_old), jnp.where(m, C, C_old)
+
+
+@jax.jit
+def _fuse_weighted_spherical(X_old, C_old, X, C):
+    def to_sph(P):
+        r = jnp.linalg.norm(P, axis=-1, keepdims=True)
+        phi = jnp.arctan2(P[..., 1:2], P[..., 0:1])
+        theta = jnp.arccos(jnp.clip(P[..., 2:3] / r, -1.0, 1.0))
+        return jnp.concatenate([r, phi, theta], axis=-1)
+
+    def to_cart(s):
+        r, phi, theta = s[..., 0:1], s[..., 1:2], s[..., 2:3]
+        st = jnp.sin(theta)
+        return jnp.concatenate(
+            [r * st * jnp.cos(phi), r * st * jnp.sin(phi), r * jnp.cos(theta)],
+            axis=-1,
+        )
+
+    s = (C_old * to_sph(X_old) + C * to_sph(X)) / (C_old + C)
+    return to_cart(s), C_old + C
+
+
+@dataclasses.dataclass
+class Frame:
+    """Per-frame state (spec: frame.py:17-119)."""
+
+    frame_id: int
+    img: jnp.ndarray  # (1, h, w, 3) normalized NHWC
+    img_shape: np.ndarray  # (1, 2) [h, w] after downsample
+    img_true_shape: np.ndarray  # (1, 2)
+    uimg: np.ndarray  # (h, w, 3) float [0,1] host
+    T_WC: jnp.ndarray = None  # (8,) Sim3
+    X_canon: Optional[jnp.ndarray] = None  # (N, 3)
+    C: Optional[jnp.ndarray] = None  # (N, 1)
+    feat: Optional[jnp.ndarray] = None  # (1, P, 1024)
+    pos: Optional[jnp.ndarray] = None  # (1, P, 2)
+    N: int = 0
+    N_updates: int = 0
+    K: Optional[jnp.ndarray] = None
+    score: float = 0.0
+    gaussian_pred: Optional[dict] = None
+    gaussian_pred_cross: Optional[dict] = None
+
+    def __post_init__(self):
+        if self.T_WC is None:
+            self.T_WC = sim3.identity()
+
+    def update_pointmap(self, X: jnp.ndarray, C: jnp.ndarray,
+                        filtering_mode="weighted_pointmap",
+                        filtering_score="median"):
+        if self.N == 0:
+            self.X_canon, self.C = X, C
+            self.N = 1
+            self.N_updates = 1
+            if filtering_mode == "best_score":
+                self.score = float(
+                    jnp.median(C) if filtering_score == "median" else jnp.mean(C)
+                )
+            return
+        if filtering_mode == "first":
+            if self.N_updates == 1:
+                self.X_canon, self.C, self.N = X, C, 1
+        elif filtering_mode == "recent":
+            self.X_canon, self.C, self.N = X, C, 1
+        elif filtering_mode == "best_score":
+            new_score = float(
+                jnp.median(C) if filtering_score == "median" else jnp.mean(C)
+            )
+            if new_score > self.score:
+                self.X_canon, self.C, self.N = X, C, 1
+                self.score = new_score
+        elif filtering_mode == "indep_conf":
+            self.X_canon, self.C = _fuse_indep_conf(self.X_canon, self.C, X, C)
+            self.N = 1
+        elif filtering_mode == "weighted_pointmap":
+            self.X_canon, self.C = _fuse_weighted(self.X_canon, self.C, X, C)
+            self.N += 1
+        elif filtering_mode == "weighted_spherical":
+            self.X_canon, self.C = _fuse_weighted_spherical(
+                self.X_canon, self.C, X, C
+            )
+            self.N += 1
+        else:
+            raise ValueError(f"unknown filtering_mode {filtering_mode}")
+        self.N_updates += 1
+
+    def get_average_conf(self):
+        return self.C / self.N if self.C is not None else None
+
+
+def create_frame(i, img, T_WC=None, img_size=512, downsample=1) -> Frame:
+    from splatt3r_slam_tpu.utils.image import resize_img
+
+    out = resize_img(img, img_size)
+    rgb = jnp.asarray(out["img"])  # (1, h, w, 3)
+    img_shape = out["true_shape"].copy()
+    uimg = out["unnormalized_img"].astype(np.float32) / 255.0
+    if downsample > 1:
+        uimg = uimg[::downsample, ::downsample]
+        img_shape = img_shape // downsample
+    return Frame(i, rgb, img_shape, out["true_shape"].copy(), uimg,
+                 T_WC if T_WC is not None else sim3.identity())
+
+
+class KeyframeBuffer:
+    """Keyframe store with the SharedKeyframes API (spec: frame.py:247-354).
+
+    Device arrays live in host lists (no locks needed single-process, no
+    full-buffer copies on append). `buffer` caps capacity like the
+    reference's 512-slot ring.
+    """
+
+    def __init__(self, h: int, w: int, buffer: int = 512):
+        self.h, self.w = h, w
+        self.buffer = buffer
+        self.frames: list[Frame] = []
+        self.is_dirty: list[bool] = []
+        self.K: Optional[jnp.ndarray] = None
+
+    def __len__(self):
+        return len(self.frames)
+
+    def __getitem__(self, idx) -> Frame:
+        kf = self.frames[idx]
+        if self.K is not None:
+            kf.K = self.K
+        return kf
+
+    def __setitem__(self, idx, value: Frame):
+        self.frames[idx] = value
+        self.is_dirty[idx] = True
+
+    def append(self, value: Frame):
+        if len(self.frames) >= self.buffer:
+            raise RuntimeError(f"keyframe buffer full ({self.buffer})")
+        self.frames.append(value)
+        self.is_dirty.append(True)
+
+    def pop_last(self):
+        self.frames.pop()
+        self.is_dirty.pop()
+
+    def last_keyframe(self) -> Optional[Frame]:
+        return self.frames[-1] if self.frames else None
+
+    def update_T_WCs(self, T_WCs: jnp.ndarray, idx) -> None:
+        for k, i in enumerate(np.atleast_1d(np.asarray(idx))):
+            self.frames[int(i)].T_WC = T_WCs[k]
+            self.is_dirty[int(i)] = True
+
+    def get_dirty_idx(self):
+        idx = [i for i, d in enumerate(self.is_dirty) if d]
+        for i in idx:
+            self.is_dirty[i] = False
+        return idx
+
+    def set_intrinsics(self, K):
+        self.K = jnp.asarray(K, jnp.float32)
+
+    def get_intrinsics(self):
+        return self.K
+
+    # --- batched views for the backend solver ---
+    def stacked(self, idx):
+        """(T_WC (m,8), X (m,N,3), C_avg (m,N,1)) for keyframe indices."""
+        fr = [self.frames[int(i)] for i in idx]
+        T = jnp.stack([f.T_WC for f in fr])
+        X = jnp.stack([f.X_canon for f in fr])
+        C = jnp.stack([f.get_average_conf() for f in fr])
+        return T, X, C
+
+
+def _pool_append(buf, chunk, start):
+    return jax.lax.dynamic_update_slice_in_dim(buf, chunk, start, axis=0)
+
+
+_pool_append_jit = jax.jit(_pool_append, donate_argnums=0)
+
+
+class GaussianPool:
+    """World-space Gaussian accumulator (spec: frame.py:357-463).
+
+    Fixed-size chunk writes with opacity-masked invalids (static shapes →
+    no recompiles); drop-oldest-half FIFO eviction. Fields: means (M,3),
+    cov_triu (M,6), colors (M,3), opacities (M,), kf_id (M,).
+    """
+
+    def __init__(self, max_gaussians: int = 4 * 1024 * 1024):
+        self.max_gaussians = int(max_gaussians)
+        self.n = 0
+        self.data = jnp.zeros((self.max_gaussians, 13), jnp.float32)
+        self.kf_id = np.zeros((self.max_gaussians,), np.int32)
+
+    def append_chunk(self, means, cov_triu, colors, opacities, kf_idx: int,
+                     opacity_threshold: float = 0.05):
+        """Append a fixed-size chunk; sub-threshold opacities are zeroed
+        (ignored by the rasterizer) rather than compacted."""
+        opa = jnp.where(opacities > opacity_threshold, opacities, 0.0)
+        chunk = jnp.concatenate(
+            [means, cov_triu, colors, opa[:, None]], axis=-1
+        ).astype(jnp.float32)
+        g = chunk.shape[0]
+        if g > self.max_gaussians:
+            chunk = chunk[: self.max_gaussians]
+            g = self.max_gaussians
+        if self.n + g > self.max_gaussians:
+            half = self.max_gaussians // 2
+            keep = self.data[self.n - half : self.n]
+            self.data = jnp.zeros_like(self.data).at[:half].set(keep)
+            self.kf_id[:half] = self.kf_id[self.n - half : self.n]
+            self.n = half
+        self.data = _pool_append_jit(self.data, chunk, self.n)
+        self.kf_id[self.n : self.n + g] = kf_idx
+        self.n += g
+
+    def get_all(self):
+        if self.n == 0:
+            return None
+        d = self.data[: self.n]
+        return d[:, 0:3], d[:, 3:9], d[:, 9:12], d[:, 12]
+
+    def clear(self):
+        self.n = 0

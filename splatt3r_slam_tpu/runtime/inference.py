@@ -1,0 +1,204 @@
+"""Model façade for the SLAM runtime (jitted inference units).
+
+Equivalent of reference `splatt3r_slam/splatt3r_utils.py:92-644`:
+mono / asymmetric / symmetric two-view inference with keyframe feature
+caching, plus Gaussian parameter extraction stored on the Frame.
+
+The engine jit-compiles three units with static shapes:
+- encode:        image → encoder tokens (cached per keyframe)
+- decode+heads:  (feat1, feat2) → per-view activation dicts
+- match:         correspondence (ops/matching.py, already jitted)
+
+XLA's async dispatch overlaps these on device; no host sync is needed
+until scalar decisions (match fractions) are pulled by the tracker.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from splatt3r_slam_tpu.config import config
+from splatt3r_slam_tpu.models import Splatt3RModel
+from splatt3r_slam_tpu.ops import matching
+from splatt3r_slam_tpu.runtime.frame import Frame
+
+
+def _extract_gaussians(res: dict) -> dict:
+    """Gaussian params for rendering (spec: splatt3r_utils.py:120-137)."""
+    d = {k: res[k] for k in ("means", "scales", "rotations", "sh", "opacities")}
+    d["conf"] = res["conf"]
+    return d
+
+
+class InferenceEngine:
+    """Holds model + params and the jitted inference units."""
+
+    def __init__(self, model: Splatt3RModel, params, h: int, w: int):
+        self.model = model
+        self.params = params
+        self.h, self.w = h, w
+
+        @jax.jit
+        def _encode(params, img):
+            return model.apply({"params": params}, img, method=model.encode)
+
+        @jax.jit
+        def _decode(params, f1, p1, f2, p2):
+            d1, d2 = model.apply(
+                {"params": params}, f1, p1, f2, p2, method=model.decode
+            )
+            r1 = model.apply(
+                {"params": params}, 1, d1, (h, w), method=model.apply_head
+            )
+            r2 = model.apply(
+                {"params": params}, 2, d2, (h, w), method=model.apply_head
+            )
+            return r1, r2
+
+        self._encode = _encode
+        self._decode = _decode
+
+    # -- feature caching ----------------------------------------------------
+
+    def ensure_encoded(self, frame: Frame):
+        if frame.feat is None:
+            frame.feat, frame.pos = self._encode(self.params, frame.img)
+
+    # -- inference modes ----------------------------------------------------
+
+    def decoder(self, feat1, pos1, feat2, pos2):
+        return self._decode(self.params, feat1, pos1, feat2, pos2)
+
+    def inference_mono(self, frame: Frame):
+        """Single-view init (spec: splatt3r_utils.py:503-536).
+
+        Returns (Xii (N,3), Cii (N,1)); stores Gaussian predictions on the
+        frame for rendering.
+        """
+        self.ensure_encoded(frame)
+        res11, res21 = self.decoder(frame.feat, frame.pos, frame.feat, frame.pos)
+        frame.gaussian_pred = _extract_gaussians(res11)
+        frame.gaussian_pred_cross = _extract_gaussians(res21)
+        X, C = self._downsample_XC(res11)
+        return X, C
+
+    def _downsample_XC(self, res):
+        ds = config.get("dataset", {}).get("img_downsample", 1)
+        X = res["pts3d"][0]
+        C = res["conf"][0]
+        if ds > 1:
+            X = X[::ds, ::ds]
+            C = C[::ds, ::ds]
+        return X.reshape(-1, 3), C.reshape(-1, 1)
+
+    def match_asymmetric(self, frame: Frame, keyframe: Frame,
+                         idx_i2j_init=None):
+        """One decoder pass frame←keyframe + matching
+        (spec: splatt3r_utils.py:580-644).
+
+        Returns (idx_f2k (1,N), valid_match_k (1,N,1),
+                 Xff, Cff, Qff, Xkf, Ckf, Qkf) flattened per pixel.
+        """
+        self.ensure_encoded(frame)
+        self.ensure_encoded(keyframe)
+        res11, res21 = self.decoder(
+            frame.feat, frame.pos, keyframe.feat, keyframe.pos
+        )
+        frame.gaussian_pred = _extract_gaussians(res11)
+        frame.gaussian_pred_cross = _extract_gaussians(res21)
+
+        mcfg = config["matching"]
+        ds = config.get("dataset", {}).get("img_downsample", 1)
+
+        def dsmap(a):
+            return a[:, ::ds, ::ds] if ds > 1 else a
+
+        Xii = dsmap(res11["pts3d"])
+        Xji = dsmap(res21["pts3d"])
+        Dii = dsmap(res11["desc"])
+        Dji = dsmap(res21["desc"])
+
+        idx_f2k, valid_match_k = matching.match(
+            Xii, Xji, Dii, Dji, idx_i2j_init,
+            max_iter=int(mcfg["max_iter"]),
+            lambda_init=float(mcfg["lambda_init"]),
+            convergence_thresh=float(mcfg["convergence_thresh"]),
+            dist_thresh=float(mcfg["dist_thresh"]),
+            radius=int(mcfg["radius"]),
+            dilation_max=int(mcfg["dilation_max"]),
+        )
+
+        def flat(a, c):
+            return dsmap(a)[0].reshape(-1, c)
+
+        Xff = flat(res11["pts3d"], 3)
+        Cff = flat(res11["conf"][..., None], 1)
+        Qff = flat(res11["desc_conf"][..., None], 1)
+        Xkf = flat(res21["pts3d"], 3)
+        Ckf = flat(res21["conf"][..., None], 1)
+        Qkf = flat(res21["desc_conf"][..., None], 1)
+        return idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf
+
+    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j):
+        """Two full decoder passes per edge + stacked matching
+        (spec: splatt3r_utils.py:539-576). Inputs are batched (E, P, C).
+
+        Returns (idx_i2j, idx_j2i, valid_j, valid_i, Qii, Qjj, Qji, Qij).
+        """
+        E = feat_i.shape[0]
+        mcfg = config["matching"]
+
+        Xs, Ds, Qs = [], [], []
+        for e in range(E):
+            r11, r21 = self.decoder(feat_i[e : e + 1], pos_i[e : e + 1],
+                                    feat_j[e : e + 1], pos_j[e : e + 1])
+            r22, r12 = self.decoder(feat_j[e : e + 1], pos_j[e : e + 1],
+                                    feat_i[e : e + 1], pos_i[e : e + 1])
+            Xs.append([r["pts3d"][0] for r in (r11, r21, r22, r12)])
+            Ds.append([r["desc"][0] for r in (r11, r21, r22, r12)])
+            Qs.append([r["desc_conf"][0] for r in (r11, r21, r22, r12)])
+
+        # (4, E, h, w, c)
+        X = jnp.stack([jnp.stack([x[k] for x in Xs]) for k in range(4)])
+        D = jnp.stack([jnp.stack([d[k] for d in Ds]) for k in range(4)])
+        Q = jnp.stack([jnp.stack([q[k] for q in Qs]) for k in range(4)])
+
+        ds = config.get("dataset", {}).get("img_downsample", 1)
+        if ds > 1:
+            X = X[:, :, ::ds, ::ds]
+            D = D[:, :, ::ds, ::ds]
+            Q = Q[:, :, ::ds, ::ds]
+
+        Xii, Xji, Xjj, Xij = X[0], X[1], X[2], X[3]
+        Dii, Dji, Djj, Dij = D[0], D[1], D[2], D[3]
+        Qii, Qji, Qjj, Qij = Q[0], Q[1], Q[2], Q[3]
+
+        X11 = jnp.concatenate([Xii, Xjj], axis=0)
+        X21 = jnp.concatenate([Xji, Xij], axis=0)
+        D11 = jnp.concatenate([Dii, Djj], axis=0)
+        D21 = jnp.concatenate([Dji, Dij], axis=0)
+
+        idx_1_to_2, valid_match_2 = matching.match(
+            X11, X21, D11, D21, None,
+            max_iter=int(mcfg["max_iter"]),
+            lambda_init=float(mcfg["lambda_init"]),
+            convergence_thresh=float(mcfg["convergence_thresh"]),
+            dist_thresh=float(mcfg["dist_thresh"]),
+            radius=int(mcfg["radius"]),
+            dilation_max=int(mcfg["dilation_max"]),
+        )
+
+        b = E
+        idx_i2j = idx_1_to_2[:b]
+        idx_j2i = idx_1_to_2[b:]
+        valid_j = valid_match_2[:b]
+        valid_i = valid_match_2[b:]
+
+        def q(a):
+            return a.reshape(b, -1, 1)
+
+        return (idx_i2j, idx_j2i, valid_j, valid_i,
+                q(Qii), q(Qjj), q(Qji), q(Qij))

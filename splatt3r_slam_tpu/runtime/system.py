@@ -1,0 +1,215 @@
+"""SLAM system: mode state machine + frame loop orchestration.
+
+Spec: reference `main.py:54-561` — INIT → TRACKING (→ RELOC) with keyframe
+appends feeding global optimization, Gaussian accumulation policy, and
+per-frame render export.
+
+The reference runs frontend/backend/viz as 3 processes over shared CUDA
+memory; here a single host process drives jitted device programs and the
+"backend" is invoked inline after keyframe/reloc events (the reference's
+deterministic `single_thread: True` mode, `main.py:514-531`), with async
+dispatch providing compute overlap. A threaded backend mode mirroring the
+reference's default is provided by `single_thread=False` (backend solves
+on a worker thread; device execution is still serialized by XLA streams).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+
+from splatt3r_slam_tpu.config import config
+from splatt3r_slam_tpu.lie import sim3
+from splatt3r_slam_tpu.runtime.frame import (
+    Frame,
+    GaussianPool,
+    KeyframeBuffer,
+    Mode,
+    create_frame,
+)
+from splatt3r_slam_tpu.runtime.tracker import FrameTracker
+
+
+def should_append_gaussians(frame: Frame, is_keyframe: bool,
+                            last_append_frame_id, last_T_WC,
+                            min_translation: float = 0.12,
+                            min_frame_gap: int = 3):
+    """Gaussian accumulation policy (spec: main.py:54-73): append on
+    keyframes, after `min_translation` of motion, or every
+    `min_frame_gap` frames."""
+    if is_keyframe:
+        return True
+    if last_append_frame_id is None:
+        return True
+    if frame.frame_id - last_append_frame_id >= min_frame_gap:
+        return True
+    if last_T_WC is not None:
+        dt = np.asarray(frame.T_WC[:3]) - np.asarray(last_T_WC[:3])
+        if np.linalg.norm(dt) > min_translation:
+            return True
+    return False
+
+
+@dataclasses.dataclass
+class SLAMResult:
+    keyframes: KeyframeBuffer
+    gaussians: GaussianPool
+    n_frames: int
+    fps: float
+
+
+class SLAMSystem:
+    """Single-process SLAM driver.
+
+    Parameters
+    ----------
+    engine: InferenceEngine
+    h, w: working resolution (512-crop shape)
+    backend: optional FactorGraph-style object with
+        `add_neighbor_edge(kf_idx)`, `solve()`, and optional retrieval.
+    gaussians: optional gaussian world-accumulation module
+        (splat.world.GaussianAccumulator); None disables GS export.
+    """
+
+    def __init__(self, engine, h, w, backend=None, gaussian_module=None,
+                 K=None, viz_queue=None):
+        self.engine = engine
+        self.h, self.w = h, w
+        self.keyframes = KeyframeBuffer(h, w)
+        if K is not None:
+            self.keyframes.set_intrinsics(K)
+        self.tracker = FrameTracker(engine, self.keyframes)
+        self.backend = backend
+        self.gaussian_module = gaussian_module
+        self.pool = GaussianPool()
+        self.mode = Mode.INIT
+        self.last_gs_frame_id = None
+        self.last_gs_T_WC = None
+        self.single_thread = bool(config.get("single_thread", True))
+        self._backend_lock = threading.Lock()
+        self._backend_queue: list[int] = []
+        self._backend_thread = None
+        self._stop = False
+        self.viz_queue = viz_queue
+
+    # ------------------------------------------------------------------
+    def _run_backend_task(self, kf_idx: int, is_reloc_frame=None):
+        if self.backend is None:
+            return True
+        return self.backend.on_keyframe(kf_idx)
+
+    def _dispatch_backend(self, kf_idx: int):
+        if self.backend is None:
+            return
+        if self.single_thread:
+            self._run_backend_task(kf_idx)
+        else:
+            with self._backend_lock:
+                self._backend_queue.append(kf_idx)
+            if self._backend_thread is None:
+                self._backend_thread = threading.Thread(
+                    target=self._backend_worker, daemon=True
+                )
+                self._backend_thread.start()
+
+    def _backend_worker(self):
+        import time
+
+        while not self._stop:
+            task = None
+            with self._backend_lock:
+                if self._backend_queue:
+                    task = self._backend_queue.pop(0)
+            if task is None:
+                time.sleep(0.002)
+                continue
+            self._run_backend_task(task)
+
+    def _drain_backend(self):
+        import time
+
+        while True:
+            with self._backend_lock:
+                if not self._backend_queue:
+                    return
+            time.sleep(0.002)
+
+    # ------------------------------------------------------------------
+    def _append_gaussians(self, frame: Frame, kf_idx: int):
+        if self.gaussian_module is None:
+            return
+        out = self.gaussian_module.gaussians_to_world(frame)
+        if out is None:
+            return
+        means, cov_triu, colors, opas = out
+        self.pool.append_chunk(means, cov_triu, colors, opas, kf_idx)
+        self.last_gs_frame_id = frame.frame_id
+        self.last_gs_T_WC = frame.T_WC
+
+    # ------------------------------------------------------------------
+    def process_frame(self, frame: Frame):
+        """Advance the state machine by one frame. Returns (mode, new_kf)."""
+        if self.mode == Mode.INIT:
+            X, C = self.engine.inference_mono(frame)
+            frame.update_pointmap(X, C, self.tracker.filtering_mode,
+                                  self.tracker.filtering_score)
+            self.keyframes.append(frame)
+            self._dispatch_backend(len(self.keyframes) - 1)
+            self._append_gaussians(frame, len(self.keyframes) - 1)
+            self.mode = Mode.TRACKING
+            return self.mode, True
+
+        if self.mode == Mode.TRACKING:
+            new_kf, try_reloc = self.tracker.track(frame)
+            if try_reloc:
+                self.mode = Mode.RELOC
+                return self.mode, False
+            if should_append_gaussians(
+                frame, new_kf, self.last_gs_frame_id, self.last_gs_T_WC
+            ):
+                self._append_gaussians(frame, len(self.keyframes) - 1)
+            if new_kf:
+                self.keyframes.append(frame)
+                self._dispatch_backend(len(self.keyframes) - 1)
+            return self.mode, new_kf
+
+        if self.mode == Mode.RELOC:
+            X, C = self.engine.inference_mono(frame)
+            frame.update_pointmap(X, C, self.tracker.filtering_mode,
+                                  self.tracker.filtering_score)
+            success = False
+            if self.backend is not None:
+                success = self.backend.relocalize(frame)
+            if success:
+                self.mode = Mode.TRACKING
+                self.tracker.reset_idx_f2k()
+            return self.mode, success
+
+        raise RuntimeError(f"bad mode {self.mode}")
+
+    def run(self, dataset, max_frames=None, verbose=True):
+        import time
+
+        n = len(dataset) if max_frames is None else min(len(dataset),
+                                                        max_frames)
+        downsample = config["dataset"]["img_downsample"]
+        t0 = time.time()
+        fps = 0.0
+        for i in range(n):
+            _, img = dataset[i]
+            frame = create_frame(i, img, img_size=512, downsample=downsample)
+            if config.get("use_calib") and self.keyframes.K is not None:
+                frame.K = self.keyframes.K
+            self.process_frame(frame)
+            if verbose and i % 30 == 29:
+                fps = (i + 1) / (time.time() - t0)
+                print(f"frame {i + 1}/{n}  FPS: {fps:.2f}  mode={self.mode}")
+        if not self.single_thread:
+            self._drain_backend()
+        self._stop = True
+        elapsed = time.time() - t0
+        return SLAMResult(self.keyframes, self.pool, n,
+                          n / elapsed if elapsed > 0 else 0.0)

@@ -1,0 +1,118 @@
+"""End-to-end SLAM smoke test: tiny random model, synthetic frames.
+
+Validates the full INIT→TRACKING pipeline wiring (inference engine,
+matching, fusion, GN tracking, keyframe selection, exporters) on CPU.
+With random weights the geometry is meaningless — the test asserts
+plumbing invariants, not accuracy.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from splatt3r_slam_tpu import config as cfgmod
+from splatt3r_slam_tpu.models import Splatt3RModel, TwoViewConfig, init_model
+from splatt3r_slam_tpu.runtime.evaluate import (
+    ate_rmse,
+    load_ply,
+    save_ply,
+    save_reconstruction,
+    save_traj,
+    umeyama_alignment,
+)
+from splatt3r_slam_tpu.runtime.frame import create_frame
+from splatt3r_slam_tpu.runtime.inference import InferenceEngine
+from splatt3r_slam_tpu.runtime.system import SLAMSystem
+
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def slam_setup():
+    cfgmod.load_config(str(ROOT / "config" / "base.yaml"))
+    cfgmod.config["tracking"]["max_iters"] = 5
+    cfgmod.config["matching"]["max_iter"] = 3
+    cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
+    h, w = 48, 64
+    model, params = init_model(cfg, h, w)
+    engine = InferenceEngine(model, params, h, w)
+    return engine, h, w
+
+
+def _frames(n, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.random((h * 2, w * 2, 3)).astype(np.float32)
+    out = []
+    for i in range(n):
+        # slowly shifting crop = camera pan
+        sy, sx = i * 2, i * 3
+        img = base[sy : sy + h, sx : sx + w]
+        out.append(img)
+    return out
+
+
+def test_pipeline_runs(slam_setup, tmp_path):
+    engine, h, w = slam_setup
+    sysm = SLAMSystem(engine, h, w)
+
+    imgs = _frames(6, h, w)
+    ts = []
+    for i, img in enumerate(imgs):
+        frame = create_frame(i, img, img_size=w)
+        sysm.process_frame(frame)
+        ts.append(f"{i}.0")
+
+    assert len(sysm.keyframes) >= 1
+    kf0 = sysm.keyframes[0]
+    assert kf0.X_canon is not None and kf0.C is not None
+    assert np.isfinite(np.asarray(kf0.T_WC)).all()
+
+    # exporters
+    save_traj(tmp_path, "traj.txt", ts, sysm.keyframes)
+    lines = (tmp_path / "traj.txt").read_text().strip().splitlines()
+    assert len(lines) == len(sysm.keyframes)
+    assert len(lines[0].split()) == 8
+
+    save_reconstruction(tmp_path, "rec.ply", sysm.keyframes, 0.0)
+    pts, cols = load_ply(tmp_path / "rec.ply")
+    assert pts.shape[1] == 3 and len(pts) > 0
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    cols = rng.integers(0, 255, size=(100, 3)).astype(np.uint8)
+    save_ply(tmp_path / "x.ply", pts, cols)
+    p2, c2 = load_ply(tmp_path / "x.ply")
+    np.testing.assert_array_equal(p2, pts)
+    np.testing.assert_array_equal(c2, cols)
+
+
+def test_umeyama_recovers_sim3(rng):
+    x = rng.normal(size=(50, 3))
+    R_true, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(R_true) < 0:
+        R_true[:, 0] *= -1
+    s_true, t_true = 1.7, np.array([0.3, -1.0, 2.0])
+    y = (s_true * (R_true @ x.T)).T + t_true
+    s, R, t = umeyama_alignment(x, y)
+    np.testing.assert_allclose(s, s_true, rtol=1e-6)
+    np.testing.assert_allclose(R, R_true, atol=1e-8)
+    np.testing.assert_allclose(t, t_true, atol=1e-8)
+
+
+def test_ate_rmse_identical_traj(tmp_path, rng):
+    n = 20
+    t = np.arange(n, dtype=float)
+    p = rng.normal(size=(n, 3))
+    q = np.tile([0, 0, 0, 1.0], (n, 1))
+    data = np.column_stack([t, p, q])
+    np.savetxt(tmp_path / "gt.txt", data)
+    # scaled/rotated/translated copy should align to ~0 error
+    R, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(R) < 0:
+        R[:, 0] *= -1
+    p2 = (2.0 * (R @ p.T)).T + np.array([1, 2, 3.0])
+    np.savetxt(tmp_path / "est.txt", np.column_stack([t, p2, q]))
+    assert ate_rmse(tmp_path / "gt.txt", tmp_path / "est.txt") < 1e-6
