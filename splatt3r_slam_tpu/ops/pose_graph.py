@@ -1,0 +1,342 @@
+"""Batched Sim(3) pose-graph Gauss-Newton (second-order backend).
+
+TPU-native re-design of the reference's CUDA backend
+(`splatt3r_slam/backend/src/gn_kernels.cu`):
+
+- `ray_align_kernel` / `calib_proj_kernel` / `point_align_kernel`
+  (one CUDA block per edge, 14x14 upper-tri Hessians via blockReduce)
+  become per-edge einsums over (pixels × residual-rows) mapped with
+  `lax.map` — MXU contractions with fp32 accumulation, no shared-memory
+  choreography.
+- the Eigen `SimplicialLLT` host solve over sparse 7x7 blocks
+  (gn_kernels.cu:56-158) becomes a dense on-device Cholesky with Jacobi
+  (diagonal) preconditioning: pose count ≤512 ⇒ the system is at most
+  ~3.5k×3.5k, which is trivially dense on the MXU and removes the
+  device→host→device round-trip the reference pays every GN iteration
+  (SURVEY.md §3.3).
+- iteration control is a `lax.while_loop` on ‖dx‖ (gn_kernels.cu's
+  delta_thresh termination), with all shapes static: edges and poses are
+  padded to bucket sizes; padded poses get identity diagonal blocks so
+  their update is exactly zero.
+
+Residual/Jacobian math matches the kernels: ray+log-dist rows
+(gn_kernels.cu:812-1137), calibrated pixel+log-depth rows
+(gn_kernels.cu:1230-1636), 3D point rows (gn_kernels.cu:454-810), with
+∂r/∂ξ_j = (∂r/∂ξ_ij)·Adj(T_i)⁻¹ and ∂r/∂ξ_i = −∂r/∂ξ_j.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from splatt3r_slam_tpu.geometry.projective import point_to_ray_dist
+from splatt3r_slam_tpu.geometry.robust import huber
+from splatt3r_slam_tpu.lie import sim3
+
+_P = lax.Precision.HIGHEST
+
+
+def _edge_rays(T_ij, T_i, Xi, Xj, Ci, Cj, Q, valid, sigma_ray, sigma_dist,
+               C_thresh, Q_thresh):
+    """Residuals/Jacobians for one edge, ray+dist rows.
+
+    Xi: (N, 3) gathered points of kf i (already indexed by the match);
+    Xj: (N, 3) points of kf j. Returns (J2 (N,4,14), w (N,4), err (N,4)).
+    """
+    rd_i = point_to_ray_dist(Xi)  # measurement from kf i
+    Xj_Ci = sim3.act(T_ij, Xj)
+    rd_j, drd_dX = point_to_ray_dist(Xj_Ci, jacobian=True)
+    err = rd_j - rd_i  # (N, 4)
+
+    Jij = jnp.einsum("nrk,nkl->nrl", drd_dX, sim3.act_jacobian(Xj_Ci),
+                     precision=_P)  # (N, 4, 7) wrt xi_ij
+    Jj = sim3.adj_inv_apply_row(T_i[None, None, :], Jij)  # (N, 4, 7)
+    Ji = -Jj
+    J2 = jnp.concatenate([Ji, Jj], axis=-1)  # (N, 4, 14)
+
+    q = Q[:, None]
+    ok = (valid[:, None] & (q > Q_thresh) & (Ci > C_thresh) & (Cj > C_thresh))
+    sq = jnp.sqrt(q)
+    sqrt_w = jnp.concatenate(
+        [jnp.repeat(sq / sigma_ray, 3, -1), sq / sigma_dist], axis=-1
+    ) * ok
+    w = huber(sqrt_w * err) * sqrt_w * sqrt_w
+    return J2, w, err
+
+
+def _edge_calib(T_ij, T_i, Xi, Xj, Ci, Cj, Q, valid, K, img_size,
+                pixel_border, z_eps, sigma_pixel, sigma_depth,
+                C_thresh, Q_thresh):
+    """Pixel + log-depth rows (spec: gn_kernels.cu:1230-1430)."""
+    from splatt3r_slam_tpu.geometry.projective import project_calib
+
+    meas, valid_meas = project_calib(Xi, K, img_size, border=pixel_border,
+                                     z_eps=z_eps)
+    Xj_Ci = sim3.act(T_ij, Xj)
+    pz, dpz_dX, valid_proj = project_calib(
+        Xj_Ci, K, img_size, jacobian=True, border=pixel_border, z_eps=z_eps
+    )
+    err = pz - meas  # (N, 3)
+
+    Jij = jnp.einsum("nrk,nkl->nrl", dpz_dX, sim3.act_jacobian(Xj_Ci),
+                     precision=_P)
+    Jj = sim3.adj_inv_apply_row(T_i[None, None, :], Jij)
+    Ji = -Jj
+    J2 = jnp.concatenate([Ji, Jj], axis=-1)  # (N, 3, 14)
+
+    q = Q[:, None]
+    ok = (valid[:, None] & (q > Q_thresh) & (Ci > C_thresh) & (Cj > C_thresh)
+          & valid_meas & valid_proj)
+    sq = jnp.sqrt(q)
+    sqrt_w = jnp.concatenate(
+        [jnp.repeat(sq / sigma_pixel, 2, -1), sq / sigma_depth], axis=-1
+    ) * ok
+    w = huber(sqrt_w * err) * sqrt_w * sqrt_w
+    return J2, w, err
+
+
+def _edge_points(T_ij, T_i, Xi, Xj, Ci, Cj, Q, valid, sigma_point,
+                 C_thresh, Q_thresh):
+    """3D point-alignment rows (spec: gn_kernels.cu:454-810)."""
+    Xj_Ci = sim3.act(T_ij, Xj)
+    err = Xj_Ci - Xi  # (N, 3)
+    Jij = sim3.act_jacobian(Xj_Ci)  # (N, 3, 7)
+    Jj = sim3.adj_inv_apply_row(T_i[None, None, :], Jij)
+    Ji = -Jj
+    J2 = jnp.concatenate([Ji, Jj], axis=-1)
+
+    q = Q[:, None]
+    ok = valid[:, None] & (q > Q_thresh) & (Ci > C_thresh) & (Cj > C_thresh)
+    sqrt_w = (jnp.sqrt(q) / sigma_point) * ok
+    sqrt_w = jnp.repeat(sqrt_w, 3, -1)
+    w = huber(sqrt_w * err) * sqrt_w * sqrt_w
+    return J2, w, err
+
+
+def _edge_system(J2, w, err):
+    """(H (14,14), g (14,)) from per-row weighted Jacobians."""
+    H = jnp.einsum("nri,nrj,nr->ij", J2, J2, w, precision=_P)
+    g = jnp.einsum("nri,nr->i", J2, w * err, precision=_P)
+    return H, g
+
+
+def _assemble_dense(H_e, g_e, ii, jj, edge_on, m, num_fix):
+    """Scatter per-edge 14x14 blocks into the dense (7m', 7m') system.
+
+    Blocks touching pinned poses are dropped (reference pins the first
+    `num_fix` poses, gn_kernels.cu:1175-1186); padded poses receive
+    identity diagonal so the factorization stays SPD.
+    """
+    edge_on = jnp.asarray(edge_on, jnp.float32)
+    H_e = jnp.asarray(H_e, jnp.float32) * edge_on[:, None, None]
+    g_e = jnp.asarray(g_e, jnp.float32) * edge_on[:, None]
+    Hii = H_e[:, :7, :7]
+    Hij = H_e[:, :7, 7:]
+    Hji = H_e[:, 7:, :7]
+    Hjj = H_e[:, 7:, 7:]
+
+    rows = jnp.concatenate([ii, ii, jj, jj])
+    cols = jnp.concatenate([ii, jj, ii, jj])
+    blocks = jnp.concatenate([Hii, Hij, Hji, Hjj], axis=0)
+
+    mp = m - num_fix
+    # shift indices by -num_fix; out-of-range (pinned) scatter to a trash row
+    r = rows - num_fix
+    c = cols - num_fix
+    keep = (r >= 0) & (c >= 0)
+    r = jnp.where(keep, r, mp)  # row mp = trash
+    c = jnp.where(keep, c, mp)
+    Hd = jnp.zeros((mp + 1, mp + 1, 7, 7), jnp.float32)
+    Hd = Hd.at[r, c].add(blocks)
+    Hd = Hd[:mp, :mp]
+
+    gi = g_e[:, :7]
+    gj = g_e[:, 7:]
+    gr = jnp.concatenate([ii, jj]) - num_fix
+    gkeep = gr >= 0
+    gr = jnp.where(gkeep, gr, mp)
+    gd = jnp.zeros((mp + 1, 7), jnp.float32)
+    gd = gd.at[gr].add(jnp.concatenate([gi, gj], axis=0))
+    gd = gd[:mp]
+
+    H = Hd.transpose(0, 2, 1, 3).reshape(mp * 7, mp * 7)
+    g = gd.reshape(mp * 7)
+    # identity on empty (padded / untouched) diagonal blocks
+    diag = jnp.diagonal(H)
+    H = H + jnp.diag(jnp.where(diag == 0, 1.0, 0.0))
+    return H, g
+
+
+def _solve_spd(H, g):
+    """Jacobi-preconditioned dense Cholesky solve (fp32 on MXU)."""
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-12))
+    dinv = 1.0 / d
+    Hs = H * dinv[:, None] * dinv[None, :]
+    L, low = jax.scipy.linalg.cho_factor(Hs, lower=True)
+    x = jax.scipy.linalg.cho_solve((L, low), g * dinv)
+    return x * dinv
+
+
+def _gn_iterations(edge_fn, Twc, ii, jj, edge_on, num_fix, max_iter,
+                   delta_thresh):
+    """Shared while_loop driver. edge_fn(Twc) -> (H_e (E,14,14), g_e (E,14))."""
+    m = Twc.shape[0]
+
+    def cond(state):
+        Twc, it, delta = state
+        return (it < max_iter) & (delta >= delta_thresh)
+
+    def body(state):
+        Twc, it, _ = state
+        H_e, g_e = edge_fn(Twc)
+        H, g = _assemble_dense(H_e, g_e, ii, jj, edge_on, m, num_fix)
+        dx = -_solve_spd(H, g)  # NOTE the negation (gn_kernels.cu:1202)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        dxp = jnp.concatenate(
+            [jnp.zeros((num_fix, 7), jnp.float32), dx.reshape(-1, 7)], axis=0
+        )
+        Twc = jax.vmap(sim3.retr)(Twc, dxp)
+        return Twc, it + 1, jnp.linalg.norm(dx)
+
+    Twc, _, _ = lax.while_loop(cond, body, (Twc, 0, jnp.asarray(jnp.inf)))
+    return Twc
+
+
+def _gather_edge_points(Xs, Cs, ii, jj, idx_ii2jj, valid_match):
+    """Per-edge gathered tensors: Xi (E,N,3), Xj, Ci, Cj."""
+    ind = jnp.where(valid_match, idx_ii2jj, 0)
+    Xi = jax.vmap(lambda i, ix: Xs[i][ix])(ii, ind)
+    Ci = jax.vmap(lambda i, ix: Cs[i][ix])(ii, ind)
+    Xj = Xs[jj]
+    Cj = Cs[jj]
+    return Xi, Xj, Ci, Cj
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_fix", "max_iter", "sigma_ray", "sigma_dist",
+                     "C_thresh", "Q_thresh", "delta_thresh"),
+)
+def gauss_newton_rays(
+    Twc,  # (m, 8)
+    Xs,  # (m, N, 3)
+    Cs,  # (m, N, 1)
+    ii,  # (E,) edge source kf index (into 0..m)
+    jj,  # (E,)
+    idx_ii2jj,  # (E, N) match indices into kf i's pixels
+    valid_match,  # (E, N) bool
+    Q,  # (E, N) match confidence
+    edge_on,  # (E,) float {0,1} — padding mask
+    num_fix: int = 1,
+    max_iter: int = 10,
+    sigma_ray: float = 0.003,
+    sigma_dist: float = 10.0,
+    C_thresh: float = 0.0,
+    Q_thresh: float = 1.5,
+    delta_thresh: float = 1e-8,
+):
+    """Ray+dist pose-graph GN (spec: gn_kernels.cu:1139-1227)."""
+    Twc = jnp.asarray(Twc, jnp.float32)
+
+    def edge_fn(T):
+        Xi, Xj, Ci, Cj = _gather_edge_points(Xs, Cs, ii, jj, idx_ii2jj,
+                                             valid_match)
+        T_i = T[ii]
+        T_ij = jax.vmap(sim3.rel)(T_i, T[jj])
+
+        def one(args):
+            T_ij_e, T_i_e, Xi_e, Xj_e, Ci_e, Cj_e, Q_e, v_e = args
+            J2, w, err = _edge_rays(
+                T_ij_e, T_i_e, Xi_e, Xj_e, Ci_e, Cj_e, Q_e, v_e,
+                sigma_ray, sigma_dist, C_thresh, Q_thresh,
+            )
+            return _edge_system(J2, w, err)
+
+        return lax.map(one, (T_ij, T_i, Xi, Xj, Ci, Cj, Q, valid_match))
+
+    return _gn_iterations(edge_fn, Twc, ii, jj, edge_on, num_fix, max_iter,
+                          delta_thresh)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_size", "num_fix", "max_iter", "pixel_border",
+                     "z_eps", "sigma_pixel", "sigma_depth", "C_thresh",
+                     "Q_thresh", "delta_thresh"),
+)
+def gauss_newton_calib(
+    Twc, Xs, Cs, K, ii, jj, idx_ii2jj, valid_match, Q, edge_on,
+    img_size,
+    num_fix: int = 1,
+    max_iter: int = 10,
+    pixel_border: float = -10.0,
+    z_eps: float = 1e-6,
+    sigma_pixel: float = 1.0,
+    sigma_depth: float = 10.0,
+    C_thresh: float = 0.0,
+    Q_thresh: float = 1.5,
+    delta_thresh: float = 1e-8,
+):
+    """Calibrated pixel+log-depth pose-graph GN (gn_kernels.cu:1230-1636)."""
+    Twc = jnp.asarray(Twc, jnp.float32)
+
+    def edge_fn(T):
+        Xi, Xj, Ci, Cj = _gather_edge_points(Xs, Cs, ii, jj, idx_ii2jj,
+                                             valid_match)
+        T_i = T[ii]
+        T_ij = jax.vmap(sim3.rel)(T_i, T[jj])
+
+        def one(args):
+            T_ij_e, T_i_e, Xi_e, Xj_e, Ci_e, Cj_e, Q_e, v_e = args
+            J2, w, err = _edge_calib(
+                T_ij_e, T_i_e, Xi_e, Xj_e, Ci_e, Cj_e, Q_e, v_e, K,
+                img_size, pixel_border, z_eps, sigma_pixel, sigma_depth,
+                C_thresh, Q_thresh,
+            )
+            return _edge_system(J2, w, err)
+
+        return lax.map(one, (T_ij, T_i, Xi, Xj, Ci, Cj, Q, valid_match))
+
+    return _gn_iterations(edge_fn, Twc, ii, jj, edge_on, num_fix, max_iter,
+                          delta_thresh)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_fix", "max_iter", "sigma_point", "C_thresh",
+                     "Q_thresh", "delta_thresh"),
+)
+def gauss_newton_points(
+    Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_on,
+    num_fix: int = 1,
+    max_iter: int = 10,
+    sigma_point: float = 0.05,
+    C_thresh: float = 0.0,
+    Q_thresh: float = 1.5,
+    delta_thresh: float = 1e-8,
+):
+    """3D point-alignment pose-graph GN (gn_kernels.cu:454-810)."""
+    Twc = jnp.asarray(Twc, jnp.float32)
+
+    def edge_fn(T):
+        Xi, Xj, Ci, Cj = _gather_edge_points(Xs, Cs, ii, jj, idx_ii2jj,
+                                             valid_match)
+        T_i = T[ii]
+        T_ij = jax.vmap(sim3.rel)(T_i, T[jj])
+
+        def one(args):
+            T_ij_e, T_i_e, Xi_e, Xj_e, Ci_e, Cj_e, Q_e, v_e = args
+            J2, w, err = _edge_points(
+                T_ij_e, T_i_e, Xi_e, Xj_e, Ci_e, Cj_e, Q_e, v_e,
+                sigma_point, C_thresh, Q_thresh,
+            )
+            return _edge_system(J2, w, err)
+
+        return lax.map(one, (T_ij, T_i, Xi, Xj, Ci, Cj, Q, valid_match))
+
+    return _gn_iterations(edge_fn, Twc, ii, jj, edge_on, num_fix, max_iter,
+                          delta_thresh)
