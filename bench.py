@@ -1,0 +1,135 @@
+"""Benchmark: end-to-end frontend tracking FPS at production resolution.
+
+Runs the full per-frame SLAM tracking step (encoder on the new frame,
+asymmetric decoder+heads pass, iterative-projection matching, Sim(3) GN
+pose solve, pointmap fusion, keyframe logic) on synthetic 512x384 frames
+with the full ViT-L model (random weights — identical FLOPs/shape to the
+checkpoint) and reports steady-state FPS.
+
+Baseline: the driver target of 15 FPS end-to-end on one v5e chip
+(BASELINE.md "Build targets"); the reference publishes no numbers
+(SURVEY.md §6).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    on_accel = backend not in ("cpu",)
+
+    from splatt3r_slam_tpu import config as cfgmod
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    cfgmod.load_config(os.path.join(root, "config", "base.yaml"))
+
+    from splatt3r_slam_tpu.models import Splatt3RModel, TwoViewConfig
+    from splatt3r_slam_tpu.runtime.frame import create_frame
+    from splatt3r_slam_tpu.runtime.inference import InferenceEngine
+    from splatt3r_slam_tpu.runtime.system import SLAMSystem
+    import jax.numpy as jnp
+
+    if on_accel:
+        cfg = TwoViewConfig()  # ViT-L, bf16 transformer / f32 heads
+        h, w = 384, 512
+        n_frames = 40
+    else:
+        # CPU fallback (dev machines): tiny model, same code path
+        cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
+        h, w = 48, 64
+        n_frames = 10
+
+    model = Splatt3RModel(cfg)
+    img0 = jnp.zeros((1, h, w, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), img0, img0)
+    )["params"]
+    rng = np.random.default_rng(0)
+
+    def fill(path, s):
+        name = getattr(path[-1], "key", "")
+        if name == "scale":
+            return jnp.ones(s.shape, s.dtype)
+        if name == "bias":
+            return jnp.zeros(s.shape, s.dtype)
+        fan_in = int(np.prod(s.shape[:-1])) or 1
+        return jnp.asarray(
+            rng.standard_normal(s.shape, dtype=np.float32) / np.sqrt(fan_in),
+            s.dtype,
+        )
+
+    params = jax.tree_util.tree_map_with_path(fill, shapes)
+    params = jax.device_put(params)
+
+    engine = InferenceEngine(model, params, h, w)
+
+    # synthetic panning sequence at native camera resolution
+    base = rng.random((h + 200, w + 200, 3)).astype(np.float32)
+    frames = []
+    for i in range(n_frames):
+        crop = base[2 * i : 2 * i + h, 3 * i : 3 * i + w]
+        frames.append(crop)
+
+    # the TRACKING critical path (SURVEY.md §3.2), run unconditionally:
+    # encode(new frame) → asymmetric decode+heads → iter-proj match →
+    # pointmap fusion → Sim(3) GN solve
+    from splatt3r_slam_tpu.tracking import (
+        TrackingConfig, opt_pose_ray_dist_sim3,
+    )
+    from splatt3r_slam_tpu.runtime.tracker import _track_masks
+
+    tcfg = TrackingConfig()
+    kf = create_frame(0, frames[0], img_size=w)
+    X, C = engine.inference_mono(kf)
+    kf.update_pointmap(X, C)
+
+    def track_step(i):
+        f = create_frame(i, frames[i], img_size=w)
+        (idx_b, valid_b, Xff, Cff, Qff, Xkf, Ckf, Qkf
+         ) = engine.match_asymmetric(f, kf)
+        f.update_pointmap(Xff, Cff)
+        idx, valid = idx_b[0], valid_b[0]
+        Qk, valid_opt, *_ = _track_masks(
+            idx, valid, Qff, Qkf, f.get_average_conf(),
+            kf.get_average_conf(), 0.0, 1.5,
+        )
+        T_WCf, T_CkCf, fail = opt_pose_ray_dist_sim3(
+            f.X_canon[idx], kf.X_canon, f.T_WC, kf.T_WC, Qk, valid_opt, tcfg
+        )
+        return T_WCf
+
+    # warmup (pays all compiles)
+    import jax as _j
+
+    for i in range(1, 3):
+        _j.block_until_ready(track_step(i))
+
+    t0 = time.perf_counter()
+    n_timed = 0
+    for i in range(3, n_frames):
+        T = track_step(i)
+        n_timed += 1
+    _j.block_until_ready(T)
+    dt = time.perf_counter() - t0
+
+    fps = n_timed / dt
+    baseline_fps = 15.0
+    print(json.dumps({
+        "metric": "tracking_fps_512x384" if on_accel else "tracking_fps_tiny_cpu",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
