@@ -1,0 +1,178 @@
+"""Gaussian splatting tests: math utils, rasterizer, world transform.
+
+Oracles: torch primitives for covariance building, the brute-force
+renderer for the tile rasterizer, and geometric invariants (a gaussian
+at the image center renders a centered blob of its color, etc.).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splatt3r_slam_tpu.lie import sim3
+from splatt3r_slam_tpu.splat.gaussians import (
+    RGB2SH,
+    SH2RGB,
+    build_covariance,
+    cov_to_triu,
+    eval_sh,
+    gaussians_to_world_masked,
+    triu_to_cov,
+)
+from splatt3r_slam_tpu.splat.rasterizer import (
+    render_bruteforce,
+    render_tiles,
+)
+
+
+def _scene(rng, G=100, spread=2.0):
+    means = rng.normal(size=(G, 3)).astype(np.float32) * spread
+    means[:, 2] = np.abs(means[:, 2]) + 4.0
+    scales = (0.05 + 0.1 * rng.random((G, 3))).astype(np.float32)
+    q = rng.normal(size=(G, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    cov = build_covariance(jnp.asarray(scales), jnp.asarray(q))
+    covt = cov_to_triu(cov)
+    colors = rng.random((G, 3)).astype(np.float32)
+    opa = (0.3 + 0.7 * rng.random(G)).astype(np.float32)
+    return jnp.asarray(means), covt, jnp.asarray(colors), jnp.asarray(opa)
+
+
+K = jnp.array([[80.0, 0, 32], [0, 80, 32], [0, 0, 1]])
+VIEW = jnp.eye(4)
+HW = (64, 64)
+
+
+def test_sh_roundtrip(rng):
+    rgb = jnp.asarray(rng.random((5, 3)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(SH2RGB(RGB2SH(rgb))), rgb,
+                               atol=1e-6)
+    # deg-0 eval == SH2RGB - 0.5 offset convention
+    sh = rng.normal(size=(5, 3, 1)).astype(np.float32)
+    out = eval_sh(0, jnp.asarray(sh), jnp.zeros((5, 3)))
+    np.testing.assert_allclose(np.asarray(out), 0.28209479 * sh[..., 0],
+                               rtol=1e-5)
+
+
+def test_cov_triu_roundtrip(rng):
+    A = rng.normal(size=(7, 3, 3)).astype(np.float32)
+    cov = A @ A.transpose(0, 2, 1)
+    t = cov_to_triu(jnp.asarray(cov))
+    np.testing.assert_allclose(np.asarray(triu_to_cov(t)), cov, atol=1e-6)
+
+
+def test_build_covariance_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    scales = rng.random((10, 3)).astype(np.float32)
+    q = rng.normal(size=(10, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    got = np.asarray(build_covariance(jnp.asarray(scales), jnp.asarray(q)))
+    # torch oracle: R diag(s) diag(s) Rᵀ with scipy xyzw quaternion
+    from scipy.spatial.transform import Rotation
+    R = Rotation.from_quat(q).as_matrix()
+    want = np.einsum("nij,nj,nkj->nik", R, scales**2, R)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_single_gaussian_centered_blob():
+    means = jnp.array([[0.0, 0.0, 4.0]])
+    cov = cov_to_triu(jnp.eye(3)[None] * 0.01)
+    colors = jnp.array([[1.0, 0.0, 0.0]])
+    opa = jnp.array([0.9])
+    img = np.asarray(render_tiles(means, cov, colors, opa, VIEW, K, HW))
+    # peak at the projection center (32, 32)
+    assert img[..., 0].max() > 0.5
+    peak = np.unravel_index(img[..., 0].argmax(), HW)
+    assert abs(peak[0] - 32) <= 1 and abs(peak[1] - 32) <= 1
+    # red only
+    assert img[..., 1].max() < 1e-3
+    # corners empty
+    assert img[0, 0].max() < 1e-3
+
+
+def test_tiles_match_bruteforce(rng):
+    means, covt, colors, opa = _scene(rng, G=150)
+    a = np.asarray(render_tiles(means, covt, colors, opa, VIEW, K, HW,
+                                k_max=256))
+    b = np.asarray(render_bruteforce(means, covt, colors, opa, VIEW, K, HW))
+    np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_depth_ordering_occlusion():
+    """A near opaque red gaussian must occlude a far green one."""
+    means = jnp.array([[0.0, 0.0, 2.0], [0.0, 0.0, 8.0]])
+    cov = cov_to_triu(jnp.stack([jnp.eye(3) * 0.005, jnp.eye(3) * 0.2]))
+    colors = jnp.array([[1.0, 0, 0], [0, 1.0, 0]])
+    opa = jnp.array([0.99, 0.99])
+    img = np.asarray(render_tiles(means, cov, colors, opa, VIEW, K, HW))
+    c = img[32, 32]
+    assert c[0] > 0.8 and c[1] < 0.2, c
+
+
+def test_background_color():
+    means = jnp.zeros((1, 3)).at[0, 2].set(-1.0)  # behind camera
+    cov = cov_to_triu(jnp.eye(3)[None] * 0.01)
+    img = np.asarray(
+        render_tiles(means, cov, jnp.ones((1, 3)), jnp.ones(1), VIEW, K, HW,
+                     bg=jnp.array([0.2, 0.4, 0.6]))
+    )
+    np.testing.assert_allclose(img, np.broadcast_to([0.2, 0.4, 0.6],
+                                                    img.shape), atol=1e-5)
+
+
+def test_gaussians_to_world_filters(rng):
+    h, w = 16, 16
+    means = rng.normal(size=(h, w, 3)).astype(np.float32)
+    means[..., 2] = 2.0
+    means[0, 0, 2] = -1.0  # behind camera → filtered
+    scales = np.full((h, w, 3), 0.05, np.float32)
+    scales[0, 1] = 10.0  # giant → filtered
+    rot = np.zeros((h, w, 4), np.float32)
+    rot[..., 3] = 1.0
+    sh = rng.normal(size=(h, w, 3, 1)).astype(np.float32) * 0.1
+    opa = np.full((h, w, 1), 0.9, np.float32)
+    conf = np.full((h, w), 3.0, np.float32)
+    conf[0, 2] = 0.1  # low conf → filtered
+    img = rng.random((h, w, 3)).astype(np.float32)
+
+    T = sim3.exp(jnp.asarray([0.1, 0.2, 0.3, 0.0, 0.3, 0.0, 0.2],
+                             jnp.float32))
+    mw, ct, col, op = gaussians_to_world_masked(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rot),
+        jnp.asarray(sh), jnp.asarray(opa), jnp.asarray(conf),
+        jnp.asarray(img), T,
+    )
+    op = np.asarray(op).reshape(h, w)
+    assert op[0, 0] == 0.0
+    assert op[0, 1] == 0.0
+    assert op[0, 2] == 0.0
+    assert (op[4:, :] > 0).mean() > 0.9
+
+    # world transform check on a kept gaussian
+    mw = np.asarray(mw).reshape(h, w, 3)
+    want = np.asarray(sim3.act(T, jnp.asarray(means[5, 5])))
+    np.testing.assert_allclose(mw[5, 5], want, atol=1e-5)
+
+    # covariance transformed by sR: trace scales by s²·scale²
+    ct = np.asarray(ct).reshape(h, w, 6)
+    s = float(np.asarray(T)[7])
+    tr = ct[5, 5, 0] + ct[5, 5, 3] + ct[5, 5, 5]
+    np.testing.assert_allclose(tr, 3 * (0.05**2) * s**2, rtol=1e-4)
+
+
+def test_stride_subsample(rng):
+    h, w = 16, 16
+    means = np.zeros((h, w, 3), np.float32)
+    means[..., 2] = 2.0
+    scales = np.full((h, w, 3), 0.05, np.float32)
+    rot = np.zeros((h, w, 4), np.float32)
+    rot[..., 3] = 1.0
+    sh = np.zeros((h, w, 3, 1), np.float32)
+    opa = np.full((h, w, 1), 0.9, np.float32)
+    conf = np.full((h, w), 3.0, np.float32)
+    img = np.zeros((h, w, 3), np.float32)
+    mw, *_ = gaussians_to_world_masked(
+        *[jnp.asarray(a) for a in (means, scales, rot, sh, opa, conf, img)],
+        sim3.identity(), spatial_stride=4,
+    )
+    assert mw.shape[0] == (h // 4) * (w // 4)
