@@ -1,0 +1,168 @@
+"""ASMK-style binary aggregated match kernel + incremental inverted file.
+
+Spec: the reference's asmk/faiss pipeline as configured in
+`mast3r/retrieval/processor.py:91-99` — binary kernel, no IDF, multiple
+assignment 1 (build) / 5 (query), similarity σ(s) = s·|s|^(α−1) gated at
+threshold 0 with α=3 — and the custom paths in
+`splatt3r_slam/retrieval_database.py:96-166` (matmul-trick quantization,
+query-then-add with reused top-k codes).
+
+TPU split: quantization (distance matmul + top-k) and residual
+aggregation/binarization run on device; the inverted file is append-only
+host numpy (tiny, inherently dynamic — SURVEY.md §7 hard-part 7) and never
+blocks the device pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Codebook:
+    """Visual-word centroids (K, D)."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = np.asarray(centroids, np.float32)
+        self._dev = jnp.asarray(self.centroids)
+
+    @property
+    def size(self):
+        return self.centroids.shape[0]
+
+    @staticmethod
+    def random(k: int, d: int, seed: int = 0) -> "Codebook":
+        rng = np.random.default_rng(seed)
+        c = rng.standard_normal((k, d)).astype(np.float32)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        return Codebook(c)
+
+    @staticmethod
+    def train_kmeans(data: np.ndarray, k: int, iters: int = 20,
+                     seed: int = 0) -> "Codebook":
+        """Simple device k-means (codebook training capability parity)."""
+        rng = np.random.default_rng(seed)
+        init = data[rng.choice(len(data), size=k, replace=len(data) < k)]
+        cent = jnp.asarray(init, jnp.float32)
+        X = jnp.asarray(data, jnp.float32)
+
+        @jax.jit
+        def step(cent):
+            d2 = (
+                jnp.sum(X**2, 1)[:, None]
+                + jnp.sum(cent**2, 1)[None, :]
+                - 2 * X @ cent.T
+            )
+            a = jnp.argmin(d2, axis=1)
+            sums = jnp.zeros_like(cent).at[a].add(X)
+            cnts = jnp.zeros((cent.shape[0], 1)).at[a].add(1.0)
+            return jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1), cent)
+
+        for _ in range(iters):
+            cent = step(cent)
+        return Codebook(np.asarray(cent))
+
+    @staticmethod
+    def load(path: str) -> "Codebook":
+        """Best-effort load of a reference codebook .pkl (faiss/asmk dump)."""
+        import pickle
+
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+        if isinstance(obj, np.ndarray):
+            return Codebook(obj)
+        if isinstance(obj, dict):
+            for key in ("centroids", "codebook", "C"):
+                if key in obj:
+                    return Codebook(np.asarray(obj[key]))
+        cent = getattr(obj, "centroids", None)
+        if cent is not None:
+            return Codebook(np.asarray(cent))
+        raise ValueError(f"cannot extract centroids from {path}")
+
+
+@functools.partial(jax.jit, static_argnames=("ma",))
+def quantize(qvecs: jnp.ndarray, centroids: jnp.ndarray, ma: int = 1):
+    """Top-`ma` nearest centroids via the expanded-L2 matmul trick
+    (spec: retrieval_database.py:96-105)."""
+    d2 = (
+        jnp.sum(qvecs**2, axis=1)[:, None]
+        + jnp.sum(centroids**2, axis=1)[None, :]
+        - 2 * qvecs @ centroids.T
+    )
+    _, idx = jax.lax.top_k(-d2, ma)
+    return idx  # (n, ma)
+
+
+def aggregate_binary(vecs: np.ndarray, word_ids: np.ndarray,
+                     centroids: np.ndarray):
+    """Per-word residual sum → sign-binarized descriptors.
+
+    vecs (n, D); word_ids (n·ma,) flattened assignments aligned with
+    vecs repeated ma times. Returns (words (w,), bits (w, D) uint8 packed
+    along D/8).
+    """
+    D = vecs.shape[1]
+    order = np.argsort(word_ids, kind="stable")
+    w_sorted = word_ids[order]
+    v_sorted = vecs[order]
+    c_sorted = centroids[w_sorted]
+    resid = v_sorted - c_sorted
+    words, starts = np.unique(w_sorted, return_index=True)
+    sums = np.add.reduceat(resid, starts, axis=0)
+    bits = np.packbits((sums > 0).astype(np.uint8), axis=1)
+    return words.astype(np.int64), bits
+
+
+_POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(1).astype(np.int32)
+
+
+def binary_similarity(qbits: np.ndarray, dbits: np.ndarray, dim: int,
+                      alpha: float = 3.0, threshold: float = 0.0):
+    """σ over packed bit descriptors: s = 1 − 2·hamming/D, gated + powered
+    (asmk binary kernel semantics)."""
+    ham = _POPCNT[np.bitwise_xor(qbits, dbits)].sum(axis=-1)
+    s = 1.0 - 2.0 * ham / dim
+    out = np.sign(s) * np.abs(s) ** alpha
+    return np.where(s >= threshold, out, 0.0)
+
+
+class IVF:
+    """Append-only inverted file: word → (image ids, packed residual bits).
+
+    Host-side numpy (the reference keeps this in asmk's Cython IVF builder;
+    it is tiny at SLAM scale and inherently dynamic)."""
+
+    def __init__(self, n_words: int, dim: int):
+        self.n_words = n_words
+        self.dim = dim
+        self.word_ids: dict[int, list] = {}
+        self.word_bits: dict[int, list] = {}
+        self.n_images = 0
+        self.image_norms: list[float] = []  # per-image Σ self-sim = n_words
+
+    def add(self, words: np.ndarray, bits: np.ndarray, imid: int):
+        for w, b in zip(words, bits):
+            self.word_ids.setdefault(int(w), []).append(imid)
+            self.word_bits.setdefault(int(w), []).append(b)
+        self.image_norms.append(max(len(words), 1))
+        self.n_images = max(self.n_images, imid + 1)
+
+    def search(self, words: np.ndarray, bits: np.ndarray, alpha=3.0,
+               threshold=0.0):
+        """Scores against every stored image (ASMK normalized)."""
+        scores = np.zeros(self.n_images, np.float64)
+        for w, qb in zip(words, bits):
+            ids = self.word_ids.get(int(w))
+            if not ids:
+                continue
+            db = np.stack(self.word_bits[int(w)])
+            s = binary_similarity(qb[None], db, self.dim, alpha, threshold)
+            np.add.at(scores, np.asarray(ids), s)
+        qn = np.sqrt(max(len(words), 1))
+        xn = np.sqrt(np.asarray(self.image_norms[: self.n_images]))
+        return scores / (qn * xn)

@@ -1,0 +1,42 @@
+"""CLI smoke test: main.py end-to-end on a generated RGB folder."""
+
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+@pytest.mark.slow
+def test_main_cli_rgb_folder(tmp_path):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    seq = tmp_path / "seq"
+    seq.mkdir()
+    base = (rng.random((128, 160, 3)) * 255).astype(np.uint8)
+    for i in range(4):
+        crop = base[i : i + 64, 2 * i : 2 * i + 80]
+        cv2.imwrite(str(seq / f"{i:04d}.png"), crop)
+
+    env = dict(__import__("os").environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "main.py"),
+         "--dataset", str(seq),
+         "--config", str(ROOT / "config" / "base.yaml"),
+         "--tiny-model", "--no-viz", "--img-size", "64",
+         "--gaussian-stride", "8", "--max-frames", "4"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "done:" in out.stdout
+    # exporters wrote results
+    logs = tmp_path / "logs"
+    assert (logs / "seq.txt").exists()
+    assert (logs / "seq.ply").exists()
+    traj = (logs / "seq.txt").read_text().strip().splitlines()
+    assert len(traj) >= 1 and len(traj[0].split()) == 8
