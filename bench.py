@@ -79,46 +79,41 @@ def main():
         crop = base[2 * i : 2 * i + h, 3 * i : 3 * i + w]
         frames.append(crop)
 
-    # the TRACKING critical path (SURVEY.md §3.2), run unconditionally:
-    # encode(new frame) → asymmetric decode+heads → iter-proj match →
-    # pointmap fusion → Sim(3) GN solve
-    from splatt3r_slam_tpu.tracking import (
-        TrackingConfig, opt_pose_ray_dist_sim3,
+    # fused frontend: one device dispatch + one 4-float pull per frame
+    # (the full TRACKING critical path of SURVEY.md §3.2)
+    from splatt3r_slam_tpu.runtime.fused import (
+        KFState, MatchingParams, make_fused_track_step,
     )
-    from splatt3r_slam_tpu.runtime.tracker import _track_masks
+    from splatt3r_slam_tpu.tracking import TrackingConfig
 
     tcfg = TrackingConfig()
-    kf = create_frame(0, frames[0], img_size=w)
-    X, C = engine.inference_mono(kf)
-    kf.update_pointmap(X, C)
+    mcfg = MatchingParams.from_config(cfgmod.config)
+    step = make_fused_track_step(model, h, w, tcfg, mcfg)
 
-    def track_step(i):
+    kf_frame = create_frame(0, frames[0], img_size=w)
+    X, C = engine.inference_mono(kf_frame)
+    kf = KFState(
+        feat=kf_frame.feat, pos=kf_frame.pos, X=X, C=C,
+        N_fused=jnp.asarray(1.0), T_WC=kf_frame.T_WC,
+    )
+
+    def track_step(i, kf):
         f = create_frame(i, frames[i], img_size=w)
-        (idx_b, valid_b, Xff, Cff, Qff, Xkf, Ckf, Qkf
-         ) = engine.match_asymmetric(f, kf)
-        f.update_pointmap(Xff, Cff)
-        idx, valid = idx_b[0], valid_b[0]
-        Qk, valid_opt, *_ = _track_masks(
-            idx, valid, Qff, Qkf, f.get_average_conf(),
-            kf.get_average_conf(), 0.0, 1.5,
-        )
-        T_WCf, T_CkCf, fail = opt_pose_ray_dist_sim3(
-            f.X_canon[idx], kf.X_canon, f.T_WC, kf.T_WC, Qk, valid_opt, tcfg
-        )
-        return T_WCf
+        out, flags = step(params, f.img, kf, f.T_WC, None)
+        return out["kf"], flags
 
-    # warmup (pays all compiles)
     import jax as _j
 
-    for i in range(1, 3):
-        _j.block_until_ready(track_step(i))
+    for i in range(1, 3):  # warmup: pays all compiles
+        kf, flags = track_step(i, kf)
+        np.asarray(flags)
 
     t0 = time.perf_counter()
     n_timed = 0
     for i in range(3, n_frames):
-        T = track_step(i)
+        kf, flags = track_step(i, kf)
+        np.asarray(flags)  # the per-frame host sync (mode decision)
         n_timed += 1
-    _j.block_until_ready(T)
     dt = time.perf_counter() - t0
 
     fps = n_timed / dt

@@ -1,0 +1,236 @@
+"""Fused frontend: the whole per-frame tracking step as ONE device program.
+
+The modular path (inference.py + tracker.py) dispatches ~7 device programs
+per frame and pulls several scalars; over a remote-TPU link each exchange
+costs tens of ms (and even locally, dispatch + sync overhead bounds FPS).
+This module jit-fuses the reference's TRACKING critical path
+(SURVEY.md §3.2) into a single XLA program:
+
+    encode(new frame) → decode+heads(frame, keyframe) → iter-proj match →
+    mask/fraction reductions → Sim(3) GN (while_loop) →
+    keyframe pointmap fusion → keyframe-selection criterion
+
+One dispatch per frame; the host pulls one small scalar vector
+(match_frac, new_kf, fail) to drive the mode state machine. Keyframe
+tensors stay device-resident.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from splatt3r_slam_tpu.ops import matching
+from splatt3r_slam_tpu.tracking.tracker import (
+    TrackingConfig,
+    opt_pose_ray_dist_sim3,
+)
+from splatt3r_slam_tpu.lie import sim3
+
+
+class KFState(NamedTuple):
+    """Device-resident last-keyframe state."""
+
+    feat: jnp.ndarray  # (1, P, C)
+    pos: jnp.ndarray  # (1, P, 2)
+    X: jnp.ndarray  # (N, 3) canonical pointmap
+    C: jnp.ndarray  # (N, 1) accumulated confidence
+    N_fused: jnp.ndarray  # () float — fusion count
+    T_WC: jnp.ndarray  # (8,)
+
+
+class MatchingParams(NamedTuple):
+    max_iter: int = 10
+    lambda_init: float = 1e-8
+    convergence_thresh: float = 1e-6
+    dist_thresh: float = 1e-1
+    radius: int = 3
+    dilation_max: int = 5
+
+    @classmethod
+    def from_config(cls, cfg):
+        m = cfg["matching"]
+        return cls(int(m["max_iter"]), float(m["lambda_init"]),
+                   float(m["convergence_thresh"]), float(m["dist_thresh"]),
+                   int(m["radius"]), int(m["dilation_max"]))
+
+
+def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
+                          mcfg: MatchingParams):
+    """Build the jitted fused step.
+
+    step(params, img, kf: KFState, T_WCf_init, idx_init) →
+        (outputs dict, flags (4,) [match_frac, new_kf, fail, match_frac_k])
+    """
+
+    n = h * w
+
+    @jax.jit
+    def step(params, img, kf: KFState, T_WCf_init, idx_init):
+        feat, pos = model.apply({"params": params}, img,
+                                method=model.encode)
+        d1, d2 = model.apply({"params": params}, feat, pos, kf.feat, kf.pos,
+                             method=model.decode)
+        res11 = model.apply({"params": params}, 1, d1, (h, w),
+                            method=model.apply_head)
+        res21 = model.apply({"params": params}, 2, d2, (h, w),
+                            method=model.apply_head)
+
+        idx_f2k_b, valid_b = matching.match(
+            res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
+            idx_init,
+            max_iter=mcfg.max_iter, lambda_init=mcfg.lambda_init,
+            convergence_thresh=mcfg.convergence_thresh,
+            dist_thresh=mcfg.dist_thresh, radius=mcfg.radius,
+            dilation_max=mcfg.dilation_max,
+        )
+        idx = idx_f2k_b[0]
+        valid_match = valid_b[0]
+
+        Xff = res11["pts3d"][0].reshape(n, 3)
+        Cff = res11["conf"][0].reshape(n, 1)
+        Qff = res11["desc_conf"][0].reshape(n, 1)
+        Xkf = res21["pts3d"][0].reshape(n, 3)
+        Ckf = res21["conf"][0].reshape(n, 1)
+        Qkf = res21["desc_conf"][0].reshape(n, 1)
+
+        # masks & fractions (tracker.py:41-66, 104-110)
+        Qk = jnp.sqrt(Qff[idx] * Qkf)
+        Cf_avg = Cff  # new frame: N=1
+        Ck_avg = kf.C / kf.N_fused
+        valid_Q = Qk > tcfg.Q_conf
+        valid_opt = (valid_match & (Cf_avg[idx] > tcfg.C_conf)
+                     & (Ck_avg > tcfg.C_conf) & valid_Q)
+        valid_kf = valid_match & valid_Q
+        match_frac = valid_opt.mean()
+        match_frac_k = valid_kf.mean()
+        hits = jnp.zeros((n,), bool).at[
+            jnp.where(valid_match[:, 0], idx, 0)
+        ].set(True)
+        n_unique = hits.sum() - (~valid_match[0, 0] & hits[0])
+        unique_frac = n_unique / n
+
+        T_WCf, T_CkCf, fail = opt_pose_ray_dist_sim3(
+            Xff[idx], kf.X, T_WCf_init, kf.T_WC, Qk, valid_opt, tcfg
+        )
+
+        low_overlap = match_frac < tcfg.min_match_frac
+        try_reloc = low_overlap | fail
+
+        # keyframe pointmap fusion with the frame's cross-prediction
+        # (tracker.py:97-101, weighted_pointmap mode)
+        Xkk = sim3.act(T_CkCf, Xkf)
+        kf_X_new = (kf.C * kf.X + Ckf * Xkk) / (kf.C + Ckf)
+        kf_C_new = kf.C + Ckf
+        ok = ~try_reloc
+        kf_new = kf._replace(
+            X=jnp.where(ok, kf_X_new, kf.X),
+            C=jnp.where(ok, kf_C_new, kf.C),
+            N_fused=kf.N_fused + ok.astype(jnp.float32),
+        )
+
+        new_kf = (jnp.minimum(match_frac_k, unique_frac)
+                  < tcfg.match_frac_thresh) & ok
+        flags = jnp.stack(
+            [match_frac, new_kf.astype(jnp.float32),
+             fail.astype(jnp.float32), try_reloc.astype(jnp.float32)]
+        )
+        out = {
+            "feat": feat, "pos": pos,
+            "X": Xff, "C": Cff,
+            "T_WCf": jnp.where(ok, T_WCf, T_WCf_init),
+            "idx_f2k": idx_f2k_b,
+            "kf": kf_new,
+            "gaussians": {
+                k: res11[k] for k in
+                ("means", "scales", "rotations", "sh", "opacities", "conf")
+            },
+            "gaussians_cross": {
+                k: res21[k] for k in
+                ("means", "scales", "rotations", "sh", "opacities", "conf")
+            },
+        }
+        return out, flags
+
+    return step
+
+
+class FusedTracker:
+    """Host driver around the fused step (drop-in for FrameTracker.track
+
+    in the uncalibrated pipeline). One device dispatch + one 4-float pull
+    per frame."""
+
+    def __init__(self, engine, keyframes, config):
+        self.engine = engine
+        self.keyframes = keyframes
+        self.tcfg = TrackingConfig.from_config(config)
+        self.mcfg = MatchingParams.from_config(config)
+        self.step = make_fused_track_step(
+            engine.model, engine.h, engine.w, self.tcfg, self.mcfg
+        )
+        self.idx_f2k = None
+        self._kf_state = None
+        self.filtering_mode = config["tracking"]["filtering_mode"]
+        self.filtering_score = config["tracking"]["filtering_score"]
+
+    def reset_idx_f2k(self):
+        self.idx_f2k = None
+
+    def _sync_kf_state(self):
+        kf = self.keyframes.last_keyframe()
+        self._kf_state = KFState(
+            feat=kf.feat, pos=kf.pos, X=kf.X_canon, C=kf.C,
+            N_fused=jnp.asarray(float(kf.N)), T_WC=kf.T_WC,
+        )
+        self._host_N = int(kf.N)
+
+    def track(self, frame):
+        import numpy as np
+
+        if self._kf_state is None or self.keyframes.is_dirty[-1]:
+            self.engine.ensure_encoded(self.keyframes.last_keyframe())
+            self._sync_kf_state()
+
+        n = self.engine.h * self.engine.w
+        idx_init = self.idx_f2k
+        out, flags = self.step(
+            self.engine.params, frame.img, self._kf_state, frame.T_WC,
+            idx_init,
+        )
+        flags = np.asarray(flags)  # the single host sync
+        match_frac, new_kf, fail, try_reloc = flags
+
+        self.idx_f2k = out["idx_f2k"]
+        frame.feat, frame.pos = out["feat"], out["pos"]
+        frame.X_canon, frame.C = out["X"], out["C"]
+        frame.N = 1
+        frame.N_updates = 1
+        frame.gaussian_pred = out["gaussians"]
+        frame.gaussian_pred_cross = out["gaussians_cross"]
+
+        if try_reloc > 0:
+            if fail > 0:
+                print(f"Cholesky failed {frame.frame_id}")
+            else:
+                print(f"Skipped frame {frame.frame_id}")
+            return False, True
+
+        frame.T_WC = out["T_WCf"]
+        # fold updated kf state back into the store (no extra device sync:
+        # the fusion count is tracked host-side in lockstep)
+        self._host_N += 1
+        kfr = self.keyframes.last_keyframe()
+        kfr.X_canon = out["kf"].X
+        kfr.C = out["kf"].C
+        kfr.N = self._host_N
+        self._kf_state = out["kf"]
+        self.keyframes.is_dirty[len(self.keyframes) - 1] = False
+
+        if new_kf > 0:
+            self.reset_idx_f2k()
+            self._kf_state = None
+        return bool(new_kf > 0), False

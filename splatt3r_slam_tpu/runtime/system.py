@@ -75,13 +75,25 @@ class SLAMSystem:
     """
 
     def __init__(self, engine, h, w, backend=None, gaussian_module=None,
-                 K=None, viz_queue=None):
+                 K=None, viz_queue=None, fused=True):
         self.engine = engine
         self.h, self.w = h, w
         self.keyframes = KeyframeBuffer(h, w)
         if K is not None:
             self.keyframes.set_intrinsics(K)
-        self.tracker = FrameTracker(engine, self.keyframes)
+        # fused single-dispatch frontend (uncalibrated, weighted fusion);
+        # the modular tracker covers the calibrated / alternate-fusion paths
+        use_fused = (
+            fused
+            and not config.get("use_calib", False)
+            and config["tracking"]["filtering_mode"] == "weighted_pointmap"
+        )
+        if use_fused:
+            from splatt3r_slam_tpu.runtime.fused import FusedTracker
+
+            self.tracker = FusedTracker(engine, self.keyframes, config)
+        else:
+            self.tracker = FrameTracker(engine, self.keyframes)
         self.backend = backend
         self.gaussian_module = gaussian_module
         self.pool = GaussianPool()

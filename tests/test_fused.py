@@ -1,0 +1,70 @@
+"""Fused frontend step: consistency against the modular tracking path."""
+
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splatt3r_slam_tpu import config as cfgmod
+from splatt3r_slam_tpu.models import TwoViewConfig, init_model
+from splatt3r_slam_tpu.runtime.frame import create_frame
+from splatt3r_slam_tpu.runtime.inference import InferenceEngine
+from splatt3r_slam_tpu.runtime.system import SLAMSystem
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfgmod.load_config(str(ROOT / "config" / "base.yaml"))
+    cfgmod.config["tracking"]["max_iters"] = 4
+    cfgmod.config["tracking"]["min_match_frac"] = 0.0
+    cfgmod.config["matching"]["max_iter"] = 2
+    cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
+    h, w = 48, 64
+    model, params = init_model(cfg, h, w)
+    return InferenceEngine(model, params, h, w), h, w
+
+
+def _frames(h, w, n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.random((h * 2, w * 2, 3)).astype(np.float32)
+    return [base[i : i + h, 2 * i : 2 * i + w] for i in range(n)]
+
+
+def test_fused_matches_modular(setup):
+    engine, h, w = setup
+    imgs = _frames(h, w)
+
+    def run(fused):
+        sysm = SLAMSystem(engine, h, w, fused=fused)
+        poses = []
+        for i, img in enumerate(imgs):
+            f = create_frame(i, img, img_size=w)
+            sysm.process_frame(f)
+            poses.append(np.asarray(f.T_WC))
+        return np.stack(poses), len(sysm.keyframes)
+
+    p_mod, k_mod = run(False)
+    p_fus, k_fus = run(True)
+    assert k_mod == k_fus
+    np.testing.assert_allclose(p_fus, p_mod, atol=2e-4)
+
+
+def test_fused_single_dispatch_outputs(setup):
+    """Fused step populates frame state usable downstream (gaussians,
+    features, pointmaps)."""
+    engine, h, w = setup
+    imgs = _frames(h, w)
+    sysm = SLAMSystem(engine, h, w, fused=True)
+    fr = []
+    for i, img in enumerate(imgs[:2]):
+        f = create_frame(i, img, img_size=w)
+        sysm.process_frame(f)
+        fr.append(f)
+    f = fr[-1]
+    assert f.gaussian_pred is not None
+    assert f.gaussian_pred["means"].shape == (1, h, w, 3)
+    assert f.X_canon.shape == (h * w, 3)
+    assert np.isfinite(np.asarray(f.T_WC)).all()
