@@ -39,10 +39,14 @@ class TrainConfig(NamedTuple):
     lr_milestones: tuple = ()
     lr_gamma: float = 0.1
     train_gaussian_heads_only: bool = True
-    mast3r_loss_weight: float | None = None  # None → render loss only
+    mast3r_loss_weight: float | None = None  # extra Regr3D term weight
     conf_alpha: float = 0.2
     mse_weight: float = 1.0
     ssim_weight: float = 0.0
+    render_loss: bool = False  # photometric loss on rendered target views
+    lpips_weight: float = 0.0  # reserved: perceptual term (needs VGG)
+    sh_residual: bool = True  # learn_residual (main.py:110-118)
+    k_max: int = 256  # rasterizer depth-list cap during training
 
 
 def regr3d_conf_loss(pred1, pred2, gt1_pts, gt2_pts, valid1, valid2,
@@ -116,14 +120,72 @@ class Trainer:
         return params, opt_state, pshard
 
     def loss_fn(self, params, batch):
+        """Reference loss recipe (`splatt3r_core/main.py:101-262`):
+        photometric MSE (+SSIM) on rendered target views, optional
+        confidence-weighted Regr3D term; masked averaging supported via
+        batch['loss_mask']."""
         pred1, pred2 = self.model.apply(
             {"params": params}, batch["img1"], batch["img2"]
         )
-        loss = regr3d_conf_loss(
-            pred1, pred2, batch["gt1_pts"], batch["gt2_pts"],
-            batch["valid1"], batch["valid2"], self.cfg.conf_alpha,
-        )
-        metrics = {"regr3d": loss}
+        metrics = {}
+        loss = 0.0
+
+        if self.cfg.render_loss:
+            from splatt3r_slam_tpu.splat import DecoderSplatting
+            from splatt3r_slam_tpu.splat.gaussians import RGB2SH, build_covariance
+            from splatt3r_slam_tpu.utils.metrics import mse as mse_fn
+            from splatt3r_slam_tpu.utils.metrics import ssim_mean
+
+            p1 = dict(pred1)
+            p2 = dict(pred2)
+            p1["covariances"] = build_covariance(p1["scales"],
+                                                 p1["rotations"])
+            p2["covariances"] = build_covariance(p2["scales"],
+                                                 p2["rotations"])
+            if self.cfg.sh_residual:
+                img1 = batch["img1"] * 0.5 + 0.5
+                img2 = batch["img2"] * 0.5 + 0.5
+                p1["sh"] = p1["sh"].at[..., 0].add(RGB2SH(img1))
+                p2["sh"] = p2["sh"].at[..., 0].add(RGB2SH(img2))
+            p2["means_in_other_view"] = p2["means"]
+
+            H, W = batch["img1"].shape[1:3]
+            dec = DecoderSplatting(k_max=self.cfg.k_max)
+            rb = {
+                "context": [{"camera_pose": batch["context_pose"]}],
+                "target": [
+                    {
+                        "camera_pose": batch["target_pose"][:, v],
+                        "camera_intrinsics": batch["target_K"][:, v],
+                    }
+                    for v in range(batch["target_pose"].shape[1])
+                ],
+            }
+            color, _ = dec(rb, p1, p2, (H, W))  # (B, V, 3, H, W)
+            rendered = color.transpose(0, 1, 3, 4, 2)  # NHWC
+            gt = batch["target_img"]
+            mask = batch.get("loss_mask")
+            m = mse_fn(rendered, gt, mask)
+            metrics["mse"] = m
+            loss = loss + self.cfg.mse_weight * m
+            if self.cfg.ssim_weight:
+                s = ssim_mean(
+                    rendered.reshape(-1, H, W, 3), gt.reshape(-1, H, W, 3)
+                )
+                metrics["ssim"] = s
+                loss = loss + self.cfg.ssim_weight * (1.0 - s)
+
+        if (self.cfg.mast3r_loss_weight is not None) or not self.cfg.render_loss:
+            w = (self.cfg.mast3r_loss_weight
+                 if self.cfg.mast3r_loss_weight is not None else 1.0)
+            r3d = regr3d_conf_loss(
+                pred1, pred2, batch["gt1_pts"], batch["gt2_pts"],
+                batch["valid1"], batch["valid2"], self.cfg.conf_alpha,
+            )
+            metrics["regr3d"] = r3d
+            loss = loss + w * r3d
+
+        metrics["loss"] = loss
         return loss, metrics
 
     def make_train_step(self, pshard):

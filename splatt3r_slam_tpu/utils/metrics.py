@@ -24,6 +24,8 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5):
 @functools.partial(jax.jit, static_argnames=("window_size",))
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
     """Per-pixel SSIM map of (..., H, W, C) images in [0, 1]."""
+    img1 = jnp.asarray(img1, jnp.float32)
+    img2 = jnp.asarray(img2, jnp.float32)
     w = _gaussian_window(window_size)
     pad = window_size // 2
 
