@@ -20,6 +20,11 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache: repeated bench runs (and the driver's)
+# skip the multi-minute first compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 
 def main():
     import jax

@@ -176,14 +176,29 @@ def convert_state_dict(sd: dict, cfg: TwoViewConfig) -> dict:
         "decoder_embed": _lin(S.sub("decoder_embed")),
         "dec_norm": _ln(S.sub("dec_norm")),
     }
-    for i in range(cfg.enc_depth):
-        params[f"enc_block_{i}"] = _enc_block(S.sub(f"enc_blocks.{i}"))
-    for i in range(cfg.dec_depth):
-        params[f"dec_block_{i}"] = _dec_block(S.sub(f"dec_blocks.{i}"))
-        params[f"dec_block2_{i}"] = _dec_block(S.sub(f"dec_blocks2.{i}"))
+    # transformer blocks are scanned with depth-stacked params: stack the
+    # per-block trees along a new leading axis
+    enc = [_enc_block(S.sub(f"enc_blocks.{i}")) for i in range(cfg.enc_depth)]
+    params["enc_blocks"] = {"block": _stack_trees(enc)}
+    dec1 = [_dec_block(S.sub(f"dec_blocks.{i}")) for i in range(cfg.dec_depth)]
+    dec2 = [_dec_block(S.sub(f"dec_blocks2.{i}"))
+            for i in range(cfg.dec_depth)]
+    params["dec_blocks"] = {"blk1": _stack_trees(dec1),
+                            "blk2": _stack_trees(dec2)}
     params["head1"] = _gaussian_head(S.sub("downstream_head1"))
     params["head2"] = _gaussian_head(S.sub("downstream_head2"))
     return params
+
+
+def _stack_trees(trees: list) -> dict:
+    """Stack a list of identical nested dicts of arrays along axis 0."""
+    out = {}
+    for k, v in trees[0].items():
+        if isinstance(v, dict):
+            out[k] = _stack_trees([t[k] for t in trees])
+        else:
+            out[k] = np.stack([t[k] for t in trees])
+    return out
 
 
 def load_torch_file(path: str) -> dict:

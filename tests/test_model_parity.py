@@ -70,6 +70,6 @@ def test_dec_blocks2_duplication(pair):
     cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
     p2 = convert_state_dict(sd_no2, cfg)
     np.testing.assert_array_equal(
-        np.asarray(p2["dec_block2_3"]["attn"]["qkv"]["kernel"]),
-        np.asarray(p2["dec_block_3"]["attn"]["qkv"]["kernel"]),
+        np.asarray(p2["dec_blocks"]["blk2"]["attn"]["qkv"]["kernel"][3]),
+        np.asarray(p2["dec_blocks"]["blk1"]["attn"]["qkv"]["kernel"][3]),
     )

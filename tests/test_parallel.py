@@ -63,12 +63,12 @@ def test_gaussian_only_freezing():
     # head1.dpt (pts3d head) receives gradients from the regr3d loss but is
     # frozen under gaussian-only finetuning; the encoder is frozen too.
     # (The gaussian DPTs only get gradients once the render loss is active.)
-    enc_before = np.asarray(params["enc_block_0"]["attn"]["qkv"]["kernel"])
+    enc_before = np.asarray(params["enc_blocks"]["block"]["attn"]["qkv"]["kernel"])
     dpt_before = np.asarray(params["head1"]["dpt"]["head_4"]["kernel"])
     params, _, m = step(params, opt_state, batch)
     assert np.isfinite(float(m["regr3d"]))
     np.testing.assert_array_equal(
-        np.asarray(params["enc_block_0"]["attn"]["qkv"]["kernel"]), enc_before
+        np.asarray(params["enc_blocks"]["block"]["attn"]["qkv"]["kernel"]), enc_before
     )
     np.testing.assert_array_equal(
         np.asarray(params["head1"]["dpt"]["head_4"]["kernel"]), dpt_before

@@ -43,14 +43,14 @@ def test_render_loss_updates_gaussian_heads():
     }
 
     before = np.asarray(params["head1"]["gaussian_dpt"]["head_4"]["kernel"])
-    enc_before = np.asarray(params["enc_block_0"]["attn"]["qkv"]["kernel"])
+    enc_before = np.asarray(params["enc_blocks"]["block"]["attn"]["qkv"]["kernel"])
     params, opt_state, m = step(params, opt_state, batch)
     assert np.isfinite(float(m["loss"]))
     assert np.isfinite(float(m["mse"]))
     after = np.asarray(params["head1"]["gaussian_dpt"]["head_4"]["kernel"])
     assert not np.array_equal(after, before), "no gradient reached gaussians"
     np.testing.assert_array_equal(
-        np.asarray(params["enc_block_0"]["attn"]["qkv"]["kernel"]),
+        np.asarray(params["enc_blocks"]["block"]["attn"]["qkv"]["kernel"]),
         enc_before,
     )
 
