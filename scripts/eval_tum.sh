@@ -1,0 +1,26 @@
+#!/bin/bash
+# TUM fr1 evaluation: run SLAM per sequence, compute Sim3-aligned ATE RMSE.
+# Protocol parity with the reference's eval driver (single-thread config,
+# temporal subsample 2, evo_ape-equivalent internal metric).
+set -e
+DATASET_ROOT=${DATASET_ROOT:-datasets/tum}
+CONFIG=${CONFIG:-config/eval_no_calib.yaml}
+SAVE_AS=${SAVE_AS:-tum_eval}
+EXTRA_ARGS=${EXTRA_ARGS:-}
+
+SEQS=(rgbd_dataset_freiburg1_360 rgbd_dataset_freiburg1_desk \
+      rgbd_dataset_freiburg1_desk2 rgbd_dataset_freiburg1_floor \
+      rgbd_dataset_freiburg1_plant rgbd_dataset_freiburg1_room \
+      rgbd_dataset_freiburg1_rpy rgbd_dataset_freiburg1_teddy \
+      rgbd_dataset_freiburg1_xyz)
+
+for seq in "${SEQS[@]}"; do
+  echo "=== $seq ==="
+  python main.py --dataset "$DATASET_ROOT/$seq" --config "$CONFIG" \
+    --no-viz --save-as "$SAVE_AS" $EXTRA_ARGS
+  est="logs/$SAVE_AS/$seq.txt"
+  gt="$DATASET_ROOT/$seq/groundtruth.txt"
+  if [ -f "$gt" ]; then
+    python scripts/compute_ate.py "$gt" "$est"
+  fi
+done
