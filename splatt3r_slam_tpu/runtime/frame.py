@@ -101,6 +101,10 @@ class Frame:
     score: float = 0.0
     gaussian_pred: Optional[dict] = None
     gaussian_pred_cross: Optional[dict] = None
+    # Portrait inputs are processed transposed-to-landscape (the static-
+    # shape analogue of the reference's ManyAR patch embed + landscape
+    # wrapper, dust3r/utils/misc.py:55-95); exporters transpose uimg back.
+    portrait: bool = False
 
     def __post_init__(self):
         if self.T_WC is None:
@@ -156,11 +160,17 @@ def create_frame(i, img, T_WC=None, img_size=512, downsample=1) -> Frame:
     rgb = jnp.asarray(out["img"])  # (1, h, w, 3)
     img_shape = out["true_shape"].copy()
     uimg = out["unnormalized_img"].astype(np.float32) / 255.0
+    portrait = rgb.shape[1] > rgb.shape[2]
+    if portrait:
+        rgb = rgb.transpose(0, 2, 1, 3)
+        uimg = uimg.transpose(1, 0, 2)
+        img_shape = img_shape[:, ::-1].copy()
     if downsample > 1:
         uimg = uimg[::downsample, ::downsample]
         img_shape = img_shape // downsample
-    return Frame(i, rgb, img_shape, out["true_shape"].copy(), uimg,
-                 T_WC if T_WC is not None else sim3.identity())
+    return Frame(i, rgb, img_shape, img_shape.copy(), uimg,
+                 T_WC if T_WC is not None else sim3.identity(),
+                 portrait=portrait)
 
 
 class KeyframeBuffer:
