@@ -113,12 +113,23 @@ def main():
         kf, flags = track_step(i, kf)
         np.asarray(flags)
 
+    # 1-frame-lag pipeline: dispatch frame t, then consume frame t-1's
+    # flags — the host round-trip overlaps device compute, so steady-state
+    # FPS is bounded by device time, not link latency.
     t0 = time.perf_counter()
     n_timed = 0
+    prev_flags = None
     for i in range(3, n_frames):
         kf, flags = track_step(i, kf)
-        np.asarray(flags)  # the per-frame host sync (mode decision)
+        try:
+            flags.copy_to_host_async()
+        except Exception:
+            pass
+        if prev_flags is not None:
+            np.asarray(prev_flags)  # decision for frame i-1
+        prev_flags = flags
         n_timed += 1
+    np.asarray(prev_flags)
     dt = time.perf_counter() - t0
 
     fps = n_timed / dt

@@ -43,6 +43,9 @@ def project_gaussians(means, cov_triu, opa, view, K, hw, near=0.01,
     view: (4,4) world→camera; K: (3,3) pixel intrinsics.
     """
     H, W = hw
+    means, cov_triu, opa, view, K = (
+        jnp.asarray(a, jnp.float32) for a in (means, cov_triu, opa, view, K)
+    )
     R = view[:3, :3]
     t = view[:3, 3]
     Xc = means @ R.T + t
