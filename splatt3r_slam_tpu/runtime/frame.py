@@ -153,10 +153,21 @@ class Frame:
         return self.C / self.N if self.C is not None else None
 
 
-def create_frame(i, img, T_WC=None, img_size=512, downsample=1) -> Frame:
+def create_frame(i, img, T_WC=None, img_size=512, downsample=1,
+                 use_native=True) -> Frame:
     from splatt3r_slam_tpu.utils.image import resize_img
 
-    out = resize_img(img, img_size)
+    out = None
+    if use_native and img_size != 224:
+        try:
+            from splatt3r_slam_tpu import native
+
+            if native.available():
+                out = native.resize_img_native(img, img_size)
+        except Exception:
+            out = None
+    if out is None:
+        out = resize_img(img, img_size)
     rgb = jnp.asarray(out["img"])  # (1, h, w, 3)
     img_shape = out["true_shape"].copy()
     uimg = out["unnormalized_img"].astype(np.float32) / 255.0
