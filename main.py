@@ -130,11 +130,15 @@ def main(argv=None):
         dataset.subsample(stride)
 
     if args.calib and "calib_params" in cfgmod.config:
+        # reference intrinsics schema: {width, height, calibration: [...]}
         c = cfgmod.config["calib_params"]
         _, (H0, W0) = dataset.get_img_shape()
-        calib_vec = [c["fx"], c["fy"], c["cx"], c["cy"]] + list(
-            c.get("distortion", [])
-        )
+        if "calibration" in c:
+            calib_vec = list(c["calibration"])
+        else:
+            calib_vec = [c["fx"], c["fy"], c["cx"], c["cy"]] + list(
+                c.get("distortion", [])
+            )
         dataset.camera_intrinsics = Intrinsics.from_calib(
             dataset.img_size, c.get("width", W0), c.get("height", H0),
             calib_vec,
