@@ -52,27 +52,40 @@ def prep_rays_with_grad(X11: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([rays, gx, gy], axis=-1)
 
 
-def _bilinear_gather(img_flat: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, w: int):
-    """Bilinear sample of (h*w, c) flattened image at float (u, v).
+def _corner_table(rays_img: jnp.ndarray) -> jnp.ndarray:
+    """(h, w, c) → (h*w, 4c) table of the 2x2 bilinear-corner neighborhood.
 
-    Callers guarantee u ∈ [1, w-2], v ∈ [1, h-2] so all four neighbors are
-    in-bounds (matching the CUDA kernel's clamp-then-sample contract,
-    matching_kernels.cu:141-143).
-    Returns (n, c).
+    TPU gathers cost per ROW, nearly independent of row width — packing
+    the four corners into one wide row turns the 4 small gathers per
+    bilinear sample into 1 wide gather (~4x fewer rows).
+    """
+    h, w, c = rays_img.shape
+    p = jnp.pad(rays_img, ((0, 1), (0, 1), (0, 0)), mode="edge")
+    tab = jnp.concatenate(
+        [p[:h, :w], p[:h, 1 : w + 1], p[1 : h + 1, :w],
+         p[1 : h + 1, 1 : w + 1]],
+        axis=-1,
+    )
+    return tab.reshape(h * w, 4 * c)
+
+
+def _bilinear_gather(tab4: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                     w: int, c: int):
+    """Bilinear sample from a 4-corner packed table (see _corner_table).
+
+    Callers guarantee u ∈ [1, w-2], v ∈ [1, h-2] (the CUDA kernel's
+    clamp-then-sample contract, matching_kernels.cu:141-143). Returns (n, c).
     """
     u0 = jnp.floor(u)
     v0 = jnp.floor(v)
     du = (u - u0)[:, None]
     dv = (v - v0)[:, None]
-    u0i = u0.astype(jnp.int32)
-    v0i = v0.astype(jnp.int32)
-
-    base = v0i * w + u0i
-    i00 = jnp.take(img_flat, base, axis=0)  # (v0, u0)
-    i01 = jnp.take(img_flat, base + 1, axis=0)  # (v0, u0+1)
-    i10 = jnp.take(img_flat, base + w, axis=0)  # (v0+1, u0)
-    i11 = jnp.take(img_flat, base + w + 1, axis=0)  # (v0+1, u0+1)
-
+    base = v0.astype(jnp.int32) * w + u0.astype(jnp.int32)
+    rows = jnp.take(tab4, base, axis=0)  # (n, 4c)
+    i00 = rows[:, 0:c]
+    i01 = rows[:, c : 2 * c]
+    i10 = rows[:, 2 * c : 3 * c]
+    i11 = rows[:, 3 * c : 4 * c]
     return (
         (1 - du) * (1 - dv) * i00
         + du * (1 - dv) * i01
@@ -81,12 +94,6 @@ def _bilinear_gather(img_flat: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, w: i
     )
 
 
-def _ray_cost(rays_flat, u, v, w, target):
-    """Sampled-normalized-ray vs target-ray squared error (n,)."""
-    r = _bilinear_gather(rays_flat[:, :3], u, v, w)
-    r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
-    err = r - target
-    return jnp.sum(err * err, axis=-1), err
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "max_iter"))
@@ -106,11 +113,13 @@ def _iter_proj_single(
     lam = jnp.full((n,), lambda_init, dtype=jnp.float32)
     conv = jnp.zeros((n,), dtype=bool)
 
+    tab4 = _corner_table(rays_with_grad.reshape(h, w, 9))  # (h*w, 36)
+
     # One bilinear evaluation per iteration: the accepted/rejected sample
     # is carried in the loop state, so each step only evaluates the trial
     # point (the CUDA kernel re-samples the base point each iteration —
     # same values, twice the gathers, matching_kernels.cu:152-269).
-    samp = _bilinear_gather(rays_with_grad, u, v, w)  # (n, 9)
+    samp = _bilinear_gather(tab4, u, v, w, 9)  # (n, 9)
 
     def _cost_of(samp):
         r = samp[:, 0:3]
@@ -136,7 +145,7 @@ def _iter_proj_single(
 
         u_new = jnp.clip(u + du, 1.0, w - 2.0)
         v_new = jnp.clip(v + dv, 1.0, h - 2.0)
-        samp_new = _bilinear_gather(rays_with_grad, u_new, v_new, w)
+        samp_new = _bilinear_gather(tab4, u_new, v_new, w, 9)
         new_cost, _ = _cost_of(samp_new)
 
         accept = new_cost < cost
@@ -179,38 +188,27 @@ def refine_matches(
     p1: jnp.ndarray,  # (b, n, 2) int
     radius: int = 3,
     dilation_max: int = 5,
-    coarse_dim: int = 8,
 ):
     """Coarse-to-fine windowed descriptor argmax (matching_kernels.cu:24-80).
 
     For each dilation d = dilation_max..1, scores the (2r+1)² grid of pixels
     at spacing d around the current center and re-centers on the best.
 
-    TPU adaptations (profile-guided, v5e):
-    - scoring is a VPU multiply-sum in bf16 (beats the MXU path for these
-      skinny K=49, F=24 contractions);
-    - coarse dilations (d > 1) score a fixed `coarse_dim`-dimensional
-      random projection of the descriptors — they only pick a cell to
-      recenter on, the finest level rescoring with the full descriptor.
-      This cuts the gather-dominated window cost ~2.5x; set coarse_dim=0
-      for exact reference semantics at every level.
+    TPU formulation (profile-guided, v5e): per-window gathers cost ~per
+    ROW on TPU, so instead of gathering 49 descriptor rows per pixel we
+    `roll` the descriptor image by each window offset (49 cheap shifted
+    copies, bandwidth-bound), pack them into one wide row per pixel, and
+    do a SINGLE gather of (n, 49·fdim) rows at the window centers —
+    identical scores, ~40x fewer gather rows. Scoring is a bf16 VPU
+    multiply-sum (beats the MXU for these skinny K=49, F=24 contractions).
     """
     b, h, w, fdim = D11.shape
     n = p1.shape[1]
     side = 2 * radius + 1
+    k = side * side
 
-    D11f = D11.reshape(b, h * w, fdim).astype(jnp.bfloat16)
+    D11img = D11.astype(jnp.bfloat16)  # (b, h, w, f)
     D21b = D21.astype(jnp.bfloat16)
-
-    if coarse_dim and coarse_dim < fdim and dilation_max > 1:
-        # fixed random projection shared by both views (JL-style sketch)
-        key = jax.random.PRNGKey(0)
-        P = (jax.random.normal(key, (fdim, coarse_dim), jnp.float32)
-             / np.sqrt(coarse_dim)).astype(jnp.bfloat16)
-        D11c = jnp.einsum("bnf,fc->bnc", D11f, P)
-        D21c = jnp.einsum("bnf,fc->bnc", D21b, P)
-    else:
-        D11c, D21c = D11f, D21b
 
     offs = jnp.stack(
         jnp.meshgrid(
@@ -220,33 +218,48 @@ def refine_matches(
         ),
         axis=-1,
     ).reshape(-1, 2)  # (side², 2) in (du, dv), v-major scan order
+    offs_np = np.stack(
+        np.meshgrid(np.arange(-radius, radius + 1),
+                    np.arange(-radius, radius + 1), indexing="xy"),
+        axis=-1,
+    ).reshape(-1, 2)
 
     u = p1[..., 0].astype(jnp.int32)
     v = p1[..., 1].astype(jnp.int32)
 
-    def one_dilation(u, v, d, Dimg, Dq):
-        f = Dimg.shape[-1]
-        du = offs[:, 0] * d  # (k,)
+    def one_dilation(u, v, d):
+        lin_c = jnp.clip(v, 0, h - 1) * w + jnp.clip(u, 0, w - 1)
+
+        def per_item(args):
+            # shifted copies: stack[..., j, :] at (y,x) == D[y+dv_j, x+du_j];
+            # the (h, w, k, f) stack is transient per item (lax.map keeps
+            # peak memory at one item's worth)
+            Dimg, lin = args
+            stack = jnp.stack(
+                [
+                    jnp.roll(Dimg, (-int(dv) * d, -int(du) * d), axis=(0, 1))
+                    for du, dv in offs_np
+                ],
+                axis=2,
+            )  # (h, w, k, f)
+            flat = stack.reshape(h * w, k * fdim)
+            return jnp.take(flat, lin, axis=0)
+
+        rows = jax.lax.map(per_item, (D11img, lin_c)).reshape(b, n, k, fdim)
+        scores = (rows * D21b[:, :, None, :]).astype(jnp.float32).sum(-1)
+        du = offs[:, 0] * d
         dv = offs[:, 1] * d
         uu = u[..., None] + du  # (b, n, k)
         vv = v[..., None] + dv
         inside = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
-        lin = jnp.clip(vv, 0, h - 1) * w + jnp.clip(uu, 0, w - 1)
-        Dwin = jax.vmap(lambda Df, l: jnp.take(Df, l, axis=0))(
-            Dimg, lin.reshape(b, -1)
-        ).reshape(b, n, side * side, f)
-        scores = (Dwin * Dq[:, :, None, :]).astype(jnp.float32).sum(-1)
         scores = jnp.where(inside, scores, -jnp.inf)
         best = jnp.argmax(scores, axis=-1)  # (b, n)
-        u = jnp.take_along_axis(uu, best[..., None], axis=-1)[..., 0]
-        v = jnp.take_along_axis(vv, best[..., None], axis=-1)[..., 0]
-        return u, v
+        u_new = jnp.take_along_axis(uu, best[..., None], axis=-1)[..., 0]
+        v_new = jnp.take_along_axis(vv, best[..., None], axis=-1)[..., 0]
+        return u_new, v_new
 
     for d in range(dilation_max, 0, -1):
-        if d > 1:
-            u, v = one_dilation(u, v, d, D11c, D21c)
-        else:
-            u, v = one_dilation(u, v, d, D11f, D21b)
+        u, v = one_dilation(u, v, d)
 
     return jnp.stack([u, v], axis=-1)
 
