@@ -37,7 +37,7 @@ from splatt3r_slam_tpu.geometry.projective import point_to_ray_dist
 from splatt3r_slam_tpu.geometry.robust import huber
 from splatt3r_slam_tpu.lie import sim3
 
-_P = lax.Precision.HIGHEST
+_P = lax.Precision.HIGH
 
 
 def _edge_rays(T_ij, T_i, Xi, Xj, Ci, Cj, Q, valid, sigma_ray, sigma_dist,

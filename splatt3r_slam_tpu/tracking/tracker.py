@@ -63,8 +63,8 @@ def _solve_7x7(sqrt_info: jnp.ndarray, r: jnp.ndarray, J: jnp.ndarray, k_huber: 
     robust = sqrt_info * jnp.sqrt(huber(whitened_r, k=k_huber))
     A = robust[..., None] * J  # (n, d, 7)
     b = robust * r  # (n, d)
-    H = jnp.einsum("ndi,ndj->ij", A, A, precision=lax.Precision.HIGHEST)
-    g = -jnp.einsum("ndi,nd->i", A, b, precision=lax.Precision.HIGHEST)
+    H = jnp.einsum("ndi,ndj->ij", A, A, precision=lax.Precision.HIGH)
+    g = -jnp.einsum("ndi,nd->i", A, b, precision=lax.Precision.HIGH)
     cost = 0.5 * jnp.sum(b * b)
     L, low = jax.scipy.linalg.cho_factor(H, lower=True)
     tau = jax.scipy.linalg.cho_solve((L, low), g)
@@ -133,7 +133,7 @@ def opt_pose_ray_dist_sim3(
         rd_f, drd_dX = point_to_ray_dist(Xf_Ck, jacobian=True)  # (n,4),(n,4,3)
         r = rd_k - rd_f
         J = -jnp.einsum(
-            "nij,njk->nik", drd_dX, dX_dT, precision=lax.Precision.HIGHEST
+            "nij,njk->nik", drd_dX, dX_dT, precision=lax.Precision.HIGH
         )
         return sqrt_info, r, J
 
@@ -182,7 +182,7 @@ def opt_pose_calib_sim3(
         valid2 = (valid_proj & valid_meas_k).astype(jnp.float32)
         r = meas_k - pz
         J = -jnp.einsum(
-            "nij,njk->nik", dpz_dX, dX_dT, precision=lax.Precision.HIGHEST
+            "nij,njk->nik", dpz_dX, dX_dT, precision=lax.Precision.HIGH
         )
         return valid2 * sqrt_info, r, J
 
