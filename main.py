@@ -189,6 +189,14 @@ def main(argv=None):
         shutil.rmtree(render_dir, ignore_errors=True)
         render_dir.mkdir(parents=True, exist_ok=True)
 
+    viewer = None
+    if not args.no_viz:
+        from splatt3r_slam_tpu.runtime.visualization import Viewer
+
+        headless = not bool(os.environ.get("DISPLAY"))
+        viewer = Viewer(system, hw=(h, w), headless=headless,
+                        out_dir=save_dir / f"{seq_name}_viz")
+
     import time
 
     downsample = cfgmod.config["dataset"]["img_downsample"]
@@ -217,6 +225,13 @@ def main(argv=None):
                 )
                 cv2.imwrite(str(render_dir / f"{i:06d}.png"),
                             cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
+
+        if viewer is not None and i % 10 == 0 and system.pool.n > 0:
+            state = viewer.update()
+            if state.is_terminated:
+                break
+            while state.is_paused and not state.is_terminated:
+                state = viewer.update()
 
         if i % 30 == 29:
             fps = (i + 1) / (time.time() - t0)

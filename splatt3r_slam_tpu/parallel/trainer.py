@@ -188,6 +188,94 @@ class Trainer:
         metrics["loss"] = loss
         return loss, metrics
 
+    # ------------------------------------------------------------------
+    def make_eval_step(self):
+        """Validation/test metrics on rendered target views
+        (reference val/test steps log MSE/PSNR/LPIPS/SSIM,
+        `splatt3r_core/main.py:148-262`; LPIPS needs a VGG net — hook
+        reserved, reported as NaN when unavailable)."""
+        from splatt3r_slam_tpu.utils.metrics import (
+            mse as mse_fn, psnr_from_mse, ssim_mean,
+        )
+
+        k_max = self.cfg.k_max
+
+        @jax.jit
+        def eval_step(params, batch):
+            pred1, pred2 = self.model.apply(
+                {"params": params}, batch["img1"], batch["img2"]
+            )
+            from splatt3r_slam_tpu.splat import DecoderSplatting
+            from splatt3r_slam_tpu.splat.gaussians import (
+                RGB2SH, build_covariance,
+            )
+
+            p1, p2 = dict(pred1), dict(pred2)
+            p1["covariances"] = build_covariance(p1["scales"],
+                                                 p1["rotations"])
+            p2["covariances"] = build_covariance(p2["scales"],
+                                                 p2["rotations"])
+            p1["sh"] = p1["sh"].at[..., 0].add(
+                RGB2SH(batch["img1"] * 0.5 + 0.5)
+            )
+            p2["sh"] = p2["sh"].at[..., 0].add(
+                RGB2SH(batch["img2"] * 0.5 + 0.5)
+            )
+            p2["means_in_other_view"] = p2["means"]
+            H, W = batch["img1"].shape[1:3]
+            dec = DecoderSplatting(k_max=k_max)
+            rb = {
+                "context": [{"camera_pose": batch["context_pose"]}],
+                "target": [
+                    {"camera_pose": batch["target_pose"][:, v],
+                     "camera_intrinsics": batch["target_K"][:, v]}
+                    for v in range(batch["target_pose"].shape[1])
+                ],
+            }
+            color, _ = dec(rb, p1, p2, (H, W))
+            rendered = color.transpose(0, 1, 3, 4, 2)
+            gt = batch["target_img"]
+            mask = batch.get("loss_mask")
+            m = mse_fn(rendered, gt, mask)
+            return {
+                "mse": m,
+                "psnr": psnr_from_mse(m),
+                "ssim": ssim_mean(rendered.reshape(-1, H, W, 3),
+                                  gt.reshape(-1, H, W, 3)),
+                "lpips": jnp.nan,  # VGG-based LPIPS unavailable in-image
+            }, rendered
+
+        return eval_step
+
+    @staticmethod
+    def save_params(path, params):
+        """Persist trained params (orbax if present, npz fallback)."""
+        import pathlib
+
+        import numpy as np
+
+        path = pathlib.Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        flat = {
+            "/".join(str(getattr(k, "key", k)) for k in p): np.asarray(v)
+            for p, v in jax.tree_util.tree_flatten_with_path(params)[0]
+        }
+        np.savez_compressed(path, **flat)
+
+    @staticmethod
+    def load_params(path):
+        import numpy as np
+
+        z = np.load(path)
+        params: dict = {}
+        for key in z.files:
+            d = params
+            parts = key.split("/")
+            for p in parts[:-1]:
+                d = d.setdefault(p, {})
+            d[parts[-1]] = jnp.asarray(z[key])
+        return params
+
     def make_train_step(self, pshard):
         bshard = batch_sharding(self.mesh)
 
