@@ -128,13 +128,34 @@ def opt_pose_ray_dist_sim3(
     rd_k = point_to_ray_dist(Xk)  # (n, 4) measurement
 
     def residual(T_CkCf):
-        Xf_Ck = sim3.act(T_CkCf, Xf)
-        dX_dT = sim3.act_jacobian(Xf_Ck)  # (n, 3, 7)
-        rd_f, drd_dX = point_to_ray_dist(Xf_Ck, jacobian=True)  # (n,4),(n,4,3)
+        # hand-fused ∂(ray,dist)/∂ξ rows (the closed forms the CUDA kernel
+        # uses, gn_kernels.cu:979-1088): dr/dω = −[r]ₓ, dr/dσ = 0,
+        # dd/dτ = rᵀ, dd/dσ = d — avoids the (n,3,7) act-jacobian and the
+        # per-point batched einsum entirely (pure VPU elementwise math).
+        P = sim3.act(T_CkCf, Xf)  # (n, 3)
+        d2 = jnp.sum(P * P, axis=-1, keepdims=True)
+        d = jnp.sqrt(d2)
+        dinv = 1.0 / d
+        rh = P * dinv  # unit rays (n, 3)
+        rd_f = jnp.concatenate([rh, d], axis=-1)
         r = rd_k - rd_f
-        J = -jnp.einsum(
-            "nij,njk->nik", drd_dX, dX_dT, precision=lax.Precision.HIGH
-        )
+
+        n3i = dinv / d2
+        px, py, pz = P[:, 0:1], P[:, 1:2], P[:, 2:3]
+        rx, ry, rz = rh[:, 0:1], rh[:, 1:2], rh[:, 2:3]
+        z = jnp.zeros_like(rx)
+        dxx = dinv - px * px * n3i
+        dyy = dinv - py * py * n3i
+        dzz = dinv - pz * pz * n3i
+        dxy = -px * py * n3i
+        dxz = -px * pz * n3i
+        dyz = -py * pz * n3i
+        # rows of d(rd_f)/dξ; J = −rows
+        row_x = jnp.concatenate([dxx, dxy, dxz, z, rz, -ry, z], axis=-1)
+        row_y = jnp.concatenate([dxy, dyy, dyz, -rz, z, rx, z], axis=-1)
+        row_z = jnp.concatenate([dxz, dyz, dzz, ry, -rx, z, z], axis=-1)
+        row_d = jnp.concatenate([rx, ry, rz, z, z, z, d], axis=-1)
+        J = -jnp.stack([row_x, row_y, row_z, row_d], axis=1)  # (n, 4, 7)
         return sqrt_info, r, J
 
     T_CkCf, fail = _gn_loop(residual, T_CkCf0, cfg)
