@@ -96,6 +96,10 @@ class GaussianHead(nn.Module):
     sh_degree: int = 1
     use_offsets: bool = False
     dtype: jnp.dtype = jnp.float32
+    # DPT trunk sizes (scaled down only for tiny test configs)
+    feature_dim: int = 256
+    layer_dims: Tuple[int, int, int, int] = (96, 192, 384, 768)
+    last_dim: int = 128
 
     @nn.compact
     def __call__(self, hook_tokens, image_size) -> dict:
@@ -103,7 +107,9 @@ class GaussianHead(nn.Module):
         H, W = image_size
         p = self.patch_size
 
-        pts3d = DPT(num_channels=4, dtype=self.dtype, name="dpt")(
+        pts3d = DPT(num_channels=4, feature_dim=self.feature_dim,
+                    layer_dims=self.layer_dims, last_dim=self.last_dim,
+                    dtype=self.dtype, name="dpt")(
             hook_tokens, image_size
         )
 
@@ -122,6 +128,9 @@ class GaussianHead(nn.Module):
 
         gauss = DPT(
             num_channels=3 + 3 + 4 + 3 * self.sh_degree + 1,
+            feature_dim=self.feature_dim,
+            layer_dims=self.layer_dims,
+            last_dim=self.last_dim,
             dtype=self.dtype,
             name="gaussian_dpt",
         )(hook_tokens, image_size)

@@ -47,6 +47,11 @@ class TwoViewConfig(NamedTuple):
     rope_freq: float = 100.0
     dtype: str = "bfloat16"  # transformer compute dtype
     head_dtype: str = "float32"  # DPT/MLP head compute dtype
+    # DPT trunk sizes (production values fixed by the checkpoint; scaled
+    # down only in tiny() so tests/dryruns don't pay 256-wide convs)
+    head_feature_dim: int = 256
+    head_layer_dims: tuple = (96, 192, 384, 768)
+    head_last_dim: int = 128
 
     @property
     def jdtype(self):
@@ -65,6 +70,9 @@ class TwoViewConfig(NamedTuple):
             dec_embed_dim=48,
             dec_depth=12,  # head hooks need depth 12
             dec_num_heads=2,
+            head_feature_dim=16,
+            head_layer_dims=(8, 12, 16, 24),
+            head_last_dim=16,
         )
 
 
@@ -137,11 +145,15 @@ class Splatt3RModel(nn.Module):
         hd = c.jhead_dtype
         self.head1 = GaussianHead(
             c.enc_embed_dim, c.dec_embed_dim, c.local_feat_dim, c.patch_size,
-            c.sh_degree, c.use_offsets, hd, name="head1",
+            c.sh_degree, c.use_offsets, hd,
+            feature_dim=c.head_feature_dim, layer_dims=c.head_layer_dims,
+            last_dim=c.head_last_dim, name="head1",
         )
         self.head2 = GaussianHead(
             c.enc_embed_dim, c.dec_embed_dim, c.local_feat_dim, c.patch_size,
-            c.sh_degree, c.use_offsets, hd, name="head2",
+            c.sh_degree, c.use_offsets, hd,
+            feature_dim=c.head_feature_dim, layer_dims=c.head_layer_dims,
+            last_dim=c.head_last_dim, name="head2",
         )
 
     def _enc_rope(self, pos):

@@ -276,7 +276,7 @@ class Trainer:
             d[parts[-1]] = jnp.asarray(z[key])
         return params
 
-    def make_train_step(self, pshard):
+    def make_train_step(self, pshard, compiler_options=None):
         bshard = batch_sharding(self.mesh)
 
         @functools.partial(
@@ -284,6 +284,7 @@ class Trainer:
             in_shardings=(pshard, None, bshard),
             out_shardings=(pshard, None, None),
             donate_argnums=(0, 1),
+            compiler_options=compiler_options,
         )
         def train_step(params, opt_state, batch):
             (loss, metrics), grads = jax.value_and_grad(

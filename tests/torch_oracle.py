@@ -239,13 +239,15 @@ class HLF(nn.Module):
 
 
 class GHeadOracle(nn.Module):
-    def __init__(self, enc_dim, dec_dim, patch=16, local=24, sh_degree=1):
+    def __init__(self, enc_dim, dec_dim, patch=16, local=24, sh_degree=1,
+                 layer_dims=(8, 12, 16, 24), f=16, last=16):
         super().__init__()
         self.patch = patch
         self.local = local
         self.sh_degree = sh_degree
         dt = (enc_dim, dec_dim, dec_dim, dec_dim)
-        self.dpt = DPTOracle(4, dt, patch=patch)
+        self.dpt = DPTOracle(4, dt, layer_dims=layer_dims, f=f, last=last,
+                             patch=patch)
         self.head_local_features = HLF(enc_dim + dec_dim,
                                        (local + 1) * patch * patch)
 
@@ -255,7 +257,8 @@ class GHeadOracle(nn.Module):
                 self.dpt = inner
 
         self.gaussian_dpt = GDPTWrap(
-            DPTOracle(3 + 3 + 4 + 3 * sh_degree + 1, dt, patch=patch)
+            DPTOracle(3 + 3 + 4 + 3 * sh_degree + 1, dt,
+                      layer_dims=layer_dims, f=f, last=last, patch=patch)
         )
 
     def forward(self, tokens, image_size):
