@@ -213,6 +213,8 @@ def main(argv=None):
             frame.K = K
         system.process_frame(frame)
 
+        if args.render_stride > 0 and i % args.render_stride == 0:
+            system.engine.ensure_gaussians(frame)
         if args.render_stride > 0 and i % args.render_stride == 0 and \
                 frame.gaussian_pred is not None:
             kf = system.keyframes.last_keyframe()

@@ -86,6 +86,58 @@ def gaussian_postprocess(
     return res
 
 
+def gaussian_postprocess_tracking(fmap: jnp.ndarray, desc_dim: int = 24) -> dict:
+    """Activate the tracking subset [3 pts3d | 1 conf | desc | 1 desc_conf]."""
+    import numpy as _np
+
+    fmap = fmap.astype(jnp.float32)
+    idx = _np.cumsum([3, 1, desc_dim]).tolist()
+    pts3d, conf, desc, desc_conf = jnp.split(fmap, idx, axis=-1)
+    pts3d = reg_dense_depth_exp(pts3d)
+    return {
+        "pts3d": pts3d,
+        "conf": reg_dense_conf_exp(conf[..., 0]),
+        "desc": reg_desc_norm(desc),
+        "desc_conf": reg_dense_conf_exp(desc_conf[..., 0]),
+        "means": pts3d,
+    }
+
+
+def gaussian_postprocess_gauss_only(fmap: jnp.ndarray,
+                                    sh_degree: int = 1) -> dict:
+    """Activate the gaussian-DPT subset [3 offset | 3 scales | 4 rot |
+    3·sh | 1 opacity] (spec lines 150-178 minus the tracking channels)."""
+    import numpy as _np
+
+    fmap = fmap.astype(jnp.float32)
+    idx = _np.cumsum([3, 3, 4, 3 * sh_degree]).tolist()
+    offset, scales, rotations, sh, opacities = jnp.split(fmap, idx, axis=-1)
+    return {
+        "offset_raw": offset,
+        "scales": jnp.exp(scales),
+        "rotations": reg_dense_rotation(rotations),
+        "sh": sh.reshape(sh.shape[:-1] + (3, sh_degree)),
+        "opacities": jax.nn.sigmoid(opacities),
+    }
+
+
+def combine_gaussians(gauss: dict, pts3d: jnp.ndarray, conf: jnp.ndarray,
+                      use_offsets: bool = False) -> dict:
+    """Merge a gaussian_only head output with the tracking pass's pts3d/conf
+    into the full Gaussian prediction dict (means = pts3d (+ offsets))."""
+    means = pts3d
+    if use_offsets:
+        means = pts3d + reg_dense_offsets(gauss["offset_raw"])
+    return {
+        "means": means,
+        "scales": gauss["scales"],
+        "rotations": gauss["rotations"],
+        "sh": gauss["sh"],
+        "opacities": gauss["opacities"],
+        "conf": conf,
+    }
+
+
 class GaussianHead(nn.Module):
     """pts3d DPT + local-feature MLP + gaussian DPT (spec lines 182-278)."""
 
@@ -102,10 +154,34 @@ class GaussianHead(nn.Module):
     last_dim: int = 128
 
     @nn.compact
-    def __call__(self, hook_tokens, image_size) -> dict:
-        """hook_tokens: [enc_out, dec6, dec9, dec12] (B, N, C_i)."""
+    def __call__(self, hook_tokens, image_size, mode: str = "full") -> dict:
+        """hook_tokens: [enc_out, dec6, dec9, dec12] (B, N, C_i).
+
+        mode (TPU runtime split; the reference always runs everything):
+        - "full": pts3d DPT + local-features MLP + gaussian DPT.
+        - "tracking": skip the gaussian DPT — the per-frame tracking
+          path only consumes pts3d/conf/desc/desc_conf; Gaussians are
+          materialized lazily (mode="gaussian_only") on keyframe /
+          render events, saving ~half the head cost per tracked frame.
+        - "gaussian_only": just the gaussian DPT; combine with the
+          tracking pass's pts3d via `combine_gaussians`.
+        """
         H, W = image_size
         p = self.patch_size
+        n_gauss_ch = 3 + 3 + 4 + 3 * self.sh_degree + 1
+
+        if mode == "gaussian_only":
+            gauss = DPT(
+                num_channels=n_gauss_ch,
+                feature_dim=self.feature_dim,
+                layer_dims=self.layer_dims,
+                last_dim=self.last_dim,
+                dtype=self.dtype,
+                name="gaussian_dpt",
+            )(hook_tokens, image_size)
+            return gaussian_postprocess_gauss_only(
+                gauss, sh_degree=self.sh_degree
+            )
 
         pts3d = DPT(num_channels=4, feature_dim=self.feature_dim,
                     layer_dims=self.layer_dims, last_dim=self.last_dim,
@@ -126,8 +202,14 @@ class GaussianHead(nn.Module):
         local = h.reshape(B, H // p, W // p, odim)
         local = pixel_shuffle(local, p)  # (B, H, W, 25)
 
+        if mode == "tracking":
+            fmap = jnp.concatenate([pts3d, local], axis=-1)
+            return gaussian_postprocess_tracking(
+                fmap, desc_dim=self.local_feat_dim
+            )
+
         gauss = DPT(
-            num_channels=3 + 3 + 4 + 3 * self.sh_degree + 1,
+            num_channels=n_gauss_ch,
             feature_dim=self.feature_dim,
             layer_dims=self.layer_dims,
             last_dim=self.last_dim,

@@ -195,9 +195,9 @@ class Splatt3RModel(nn.Module):
                 self.dec_norm(carry[1].astype(jnp.float32))]
         return out1, out2
 
-    def apply_head(self, head_num, hook_tokens, image_size):
+    def apply_head(self, head_num, hook_tokens, image_size, mode="full"):
         head = self.head1 if head_num == 1 else self.head2
-        return head(hook_tokens, image_size)
+        return head(hook_tokens, image_size, mode)
 
     def __call__(self, img1, img2):
         """Full two-view forward (spec: dust3r/model.py:198-207).

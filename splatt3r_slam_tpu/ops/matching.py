@@ -42,6 +42,41 @@ class MatchingConfig(NamedTuple):
     dilation_max: int = 5
 
 
+def fit_pinhole(X: jnp.ndarray, eps: float = 1e-6):
+    """Least-squares pinhole (fx, fy, cx, cy) from a pointmap (h, w, 3).
+
+    The predicted pointmap of a (near-)pinhole camera satisfies
+    u = fx·x/z + cx, v = fy·y/z + cy. Fitting is two dense 2x2 normal
+    systems — pure reductions, no gathers (TPU-friendly). Used to seed
+    iterative projection in closed form; the LM polish then only has to
+    absorb the ray map's non-pinhole residual.
+    """
+    h, w, _ = X.shape
+    z = jnp.maximum(X[..., 2], eps)
+    a = X[..., 0] / z  # x/z
+    b = X[..., 1] / z  # y/z
+    uu, vv = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                          jnp.arange(h, dtype=jnp.float32))
+    valid = (X[..., 2] > eps).astype(jnp.float32)
+    n = jnp.maximum(valid.sum(), 1.0)
+
+    def solve_axis(t, target):
+        # min over (f, c):  Σ (f·t + c − target)²
+        st = jnp.sum(t * valid)
+        stt = jnp.sum(t * t * valid)
+        sy = jnp.sum(target * valid)
+        sty = jnp.sum(t * target * valid)
+        det = stt * n - st * st
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        f = (sty * n - st * sy) / det
+        c = (stt * sy - st * sty) / det
+        return f, c
+
+    fx, cx = solve_axis(a, uu)
+    fy, cy = solve_axis(b, vv)
+    return fx, fy, cx, cy
+
+
 def prep_rays_with_grad(X11: jnp.ndarray) -> jnp.ndarray:
     """Normalized ray image + gradients, (b, h, w, 9) NHWC.
 
@@ -157,9 +192,14 @@ def _iter_proj_single(
         conv = jnp.where(accept, new_cost < cost_thresh, cost < cost_thresh)
         return u, v, lam, conv, samp
 
-    u, v, lam, conv, _ = jax.lax.fori_loop(
-        0, max_iter, body, (u, v, lam, conv, samp)
-    )
+    # Unrolled static loop: a fori_loop carries the (n, 9) sample buffer
+    # through the loop state, and XLA's loop-carry copies cost more than
+    # the iteration math at n = h·w (measured: 2 fori iters 14 ms vs
+    # unrolled ~7 ms). max_iter ≤ 10, so unrolling is cheap to compile.
+    state = (u, v, lam, conv, samp)
+    for i in range(max_iter):
+        state = body(i, state)
+    u, v, lam, conv, _ = state
     return jnp.stack([u, v], axis=-1), conv
 
 
@@ -188,26 +228,35 @@ def refine_matches(
     p1: jnp.ndarray,  # (b, n, 2) int
     radius: int = 3,
     dilation_max: int = 5,
+    schedule: tuple | None = None,
+    quantize: bool = True,
 ):
     """Coarse-to-fine windowed descriptor argmax (matching_kernels.cu:24-80).
 
-    For each dilation d = dilation_max..1, scores the (2r+1)² grid of pixels
-    at spacing d around the current center and re-centers on the best.
+    For each dilation d in `schedule` (default: the reference's full
+    d = dilation_max..1 cascade), scores the (2r+1)² grid of pixels at
+    spacing d around the current center and re-centers on the best.
 
     TPU formulation (profile-guided, v5e): per-window gathers cost ~per
     ROW on TPU, so instead of gathering 49 descriptor rows per pixel we
-    `roll` the descriptor image by each window offset (49 cheap shifted
-    copies, bandwidth-bound), pack them into one wide row per pixel, and
-    do a SINGLE gather of (n, 49·fdim) rows at the window centers —
-    identical scores, ~40x fewer gather rows. Scoring is a bf16 VPU
-    multiply-sum (beats the MXU for these skinny K=49, F=24 contractions).
+    pack each offset's shifted image into one wide row per pixel (padded
+    static slices — cheap, bandwidth-bound) and do a SINGLE gather of
+    (n, 49·fdim) rows at the window centers — identical scores, ~40x
+    fewer gather rows. Descriptors are L2-normalized, so int8 storage
+    (`quantize=True`) halves the gathered bytes with ~0.4% component
+    error; scoring runs as a bf16 VPU multiply-sum.
     """
     b, h, w, fdim = D11.shape
     n = p1.shape[1]
     side = 2 * radius + 1
     k = side * side
+    if schedule is None:
+        schedule = tuple(range(dilation_max, 0, -1))
 
-    D11img = D11.astype(jnp.bfloat16)  # (b, h, w, f)
+    if quantize:
+        D11img = jnp.clip(jnp.round(D11 * 127.0), -127, 127).astype(jnp.int8)
+    else:
+        D11img = D11.astype(jnp.bfloat16)
     D21b = D21.astype(jnp.bfloat16)
 
     offs = jnp.stack(
@@ -229,24 +278,32 @@ def refine_matches(
 
     def one_dilation(u, v, d):
         lin_c = jnp.clip(v, 0, h - 1) * w + jnp.clip(u, 0, w - 1)
+        r = radius * d
+        pad = jnp.pad(D11img, ((0, 0), (r, r), (r, r), (0, 0)))
 
         def per_item(args):
-            # shifted copies: stack[..., j, :] at (y,x) == D[y+dv_j, x+du_j];
-            # the (h, w, k, f) stack is transient per item (lax.map keeps
-            # peak memory at one item's worth)
-            Dimg, lin = args
-            stack = jnp.stack(
+            # table[..., j·f:(j+1)·f] at (y,x) == D[y+dv_j·d, x+du_j·d]
+            # (zero outside; those offsets are -inf-masked below anyway).
+            # Static padded slices concatenated on the LANE axis — no
+            # rolls, no 4D stack (whose 24-wide minor dim would waste
+            # 128-lane tiles), one fused table write. The (h, w, k·f)
+            # table is transient per item (lax.map keeps peak memory at
+            # one item's worth).
+            Dpad, lin = args
+            tab = jnp.concatenate(
                 [
-                    jnp.roll(Dimg, (-int(dv) * d, -int(du) * d), axis=(0, 1))
+                    Dpad[r + dv * d : r + dv * d + h,
+                         r + du * d : r + du * d + w]
                     for du, dv in offs_np
                 ],
-                axis=2,
-            )  # (h, w, k, f)
-            flat = stack.reshape(h * w, k * fdim)
+                axis=-1,
+            )  # (h, w, k·f)
+            flat = tab.reshape(h * w, k * fdim)
             return jnp.take(flat, lin, axis=0)
 
-        rows = jax.lax.map(per_item, (D11img, lin_c)).reshape(b, n, k, fdim)
-        scores = (rows * D21b[:, :, None, :]).astype(jnp.float32).sum(-1)
+        rows = jax.lax.map(per_item, (pad, lin_c)).reshape(b, n, k, fdim)
+        scores = (rows.astype(jnp.bfloat16) * D21b[:, :, None, :]).astype(
+            jnp.float32).sum(-1)
         du = offs[:, 0] * d
         dv = offs[:, 1] * d
         uu = u[..., None] + du  # (b, n, k)
@@ -258,7 +315,7 @@ def refine_matches(
         v_new = jnp.take_along_axis(vv, best[..., None], axis=-1)[..., 0]
         return u_new, v_new
 
-    for d in range(dilation_max, 0, -1):
+    for d in schedule:
         u, v = one_dilation(u, v, d)
 
     return jnp.stack([u, v], axis=-1)
@@ -283,6 +340,10 @@ def lin_to_pixel(idx: jnp.ndarray, w: int) -> jnp.ndarray:
         "dist_thresh",
         "radius",
         "dilation_max",
+        "closed_form_init",
+        "polish_iters",
+        "refine_schedule",
+        "refine_quantize",
     ),
 )
 def match(
@@ -298,8 +359,24 @@ def match(
     dist_thresh: float = 1e-1,
     radius: int = 3,
     dilation_max: int = 5,
+    closed_form_init: bool = False,
+    polish_iters: int = 2,
+    refine_schedule: tuple | None = None,
+    refine_quantize: bool = False,
 ):
     """Full correspondence pipeline (spec: matching.py:52-90).
+
+    Defaults reproduce the reference semantics (pure-LM iter_proj from
+    `idx_1_to_2_init`, full dilation cascade, fp32 descriptors).
+
+    TPU fast path (measured, v5e — used by the fused frontend): per-pixel
+    gathers bound the LM solver at ~2.3 ms/iteration regardless of math,
+    so `closed_form_init=True` seeds with a closed-form pinhole
+    projection (`fit_pinhole`, dense reductions on the MXU/VPU) and only
+    `polish_iters` LM steps absorb the ray map's non-pinhole residual;
+    `refine_schedule=(dilation_max, 1)` keeps the coarse basin-escape
+    round plus the exact fine polish; `refine_quantize=True` stores
+    descriptor tables as int8 (halves gathered bytes).
 
     Returns (idx_1_to_2 (b, h*w) int32, valid (b, h*w, 1) bool).
     """
@@ -314,8 +391,22 @@ def match(
         idx_1_to_2_init = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
     p_init = lin_to_pixel(idx_1_to_2_init, w).astype(jnp.float32)
 
+    eff_iters = max_iter
+    if closed_form_init:
+        fx, fy, cx, cy = jax.vmap(fit_pinhole)(X11)
+        z = pts3d_norm[..., 2]
+        zc = jnp.where(z > 1e-6, z, 1.0)
+        u_proj = fx[:, None] * pts3d_norm[..., 0] / zc + cx[:, None]
+        v_proj = fy[:, None] * pts3d_norm[..., 1] / zc + cy[:, None]
+        ok = z > 1e-6
+        p_init = jnp.where(
+            ok[..., None], jnp.stack([u_proj, v_proj], axis=-1), p_init
+        )
+        eff_iters = polish_iters
+
     p1, valid_proj = iter_proj(
-        rays_img, pts3d_norm, p_init, max_iter, lambda_init, convergence_thresh
+        rays_img, pts3d_norm, p_init, eff_iters, lambda_init,
+        convergence_thresh,
     )
     p1 = p1.astype(jnp.int32)  # truncation matches reference .long()
 
@@ -327,7 +418,9 @@ def match(
     valid = valid_proj & (dists < dist_thresh)
 
     if radius > 0:
-        p1 = refine_matches(D11, D21.reshape(b, n, -1), p1, radius, dilation_max)
+        p1 = refine_matches(D11, D21.reshape(b, n, -1), p1, radius,
+                            dilation_max, schedule=refine_schedule,
+                            quantize=refine_quantize)
 
     idx_1_to_2 = pixel_to_lin(p1, w).astype(jnp.int32)
     return idx_1_to_2, valid[..., None]

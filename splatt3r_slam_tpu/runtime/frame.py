@@ -18,6 +18,7 @@ single host process with async dispatch, so:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from enum import Enum
 from typing import Optional
 
@@ -101,6 +102,9 @@ class Frame:
     score: float = 0.0
     gaussian_pred: Optional[dict] = None
     gaussian_pred_cross: Optional[dict] = None
+    # decoder hook tokens kept by the tracking-mode frontend for lazy
+    # Gaussian materialization (InferenceEngine.materialize_gaussians)
+    gauss_hooks: Optional[dict] = None
     # Portrait inputs are processed transposed-to-landscape (the static-
     # shape analogue of the reference's ManyAR patch embed + landscape
     # wrapper, dust3r/utils/misc.py:55-95); exporters transpose uimg back.
@@ -153,6 +157,16 @@ class Frame:
         return self.C / self.N if self.C is not None else None
 
 
+@functools.lru_cache(maxsize=1)
+def _device_normalize():
+    """uint8 (h, w, 3) → fp32 (1, h, w, 3) in [-1, 1], computed on device.
+
+    Shipping uint8 and normalizing on-chip cuts host→device bytes 4x —
+    significant over a remote-TPU link (ImgNorm mean/std 0.5, spec
+    `dust3r/dust3r/utils/image.py:23`)."""
+    return jax.jit(lambda u8: u8.astype(jnp.float32)[None] / 127.5 - 1.0)
+
+
 def create_frame(i, img, T_WC=None, img_size=512, downsample=1,
                  use_native=True) -> Frame:
     from splatt3r_slam_tpu.utils.image import resize_img
@@ -168,7 +182,7 @@ def create_frame(i, img, T_WC=None, img_size=512, downsample=1,
             out = None
     if out is None:
         out = resize_img(img, img_size)
-    rgb = jnp.asarray(out["img"])  # (1, h, w, 3)
+    rgb = _device_normalize()(jnp.asarray(out["unnormalized_img"]))
     img_shape = out["true_shape"].copy()
     uimg = out["unnormalized_img"].astype(np.float32) / 255.0
     portrait = rgb.shape[1] > rgb.shape[2]

@@ -49,21 +49,43 @@ class MatchingParams(NamedTuple):
     dist_thresh: float = 1e-1
     radius: int = 3
     dilation_max: int = 5
+    # TPU fast path (see ops/matching.py `match` docstring): closed-form
+    # pinhole init + short LM polish, coarse+fine dilation schedule, int8
+    # descriptor tables. Config keys are optional; defaults keep the
+    # reference YAMLs drop-in compatible.
+    closed_form_init: bool = True
+    polish_iters: int = 2
+    refine_schedule: tuple | None = None  # None → (dilation_max, 1)
+    refine_quantize: bool = True
 
     @classmethod
     def from_config(cls, cfg):
         m = cfg["matching"]
+        dil = int(m["dilation_max"])
+        sched = m.get("refine_schedule")
+        sched = tuple(sched) if sched is not None else (
+            (dil, 1) if dil > 1 else (1,))
         return cls(int(m["max_iter"]), float(m["lambda_init"]),
                    float(m["convergence_thresh"]), float(m["dist_thresh"]),
-                   int(m["radius"]), int(m["dilation_max"]))
+                   int(m["radius"]), dil,
+                   bool(m.get("closed_form_init", True)),
+                   int(m.get("polish_iters", 2)),
+                   sched,
+                   bool(m.get("refine_quantize", True)))
 
 
 def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
-                          mcfg: MatchingParams):
+                          mcfg: MatchingParams, head_mode: str = "tracking"):
     """Build the jitted fused step.
 
     step(params, img, kf: KFState, T_WCf_init, idx_init) →
         (outputs dict, flags (4,) [match_frac, new_kf, fail, match_frac_k])
+
+    head_mode="tracking" (default) skips the gaussian DPTs — the per-frame
+    path only consumes pts3d/conf/desc/desc_conf; Gaussians are
+    materialized lazily from the returned hook tokens on keyframe/render
+    events (InferenceEngine.materialize_gaussians). head_mode="full"
+    restores the reference's always-on behavior.
     """
 
     n = h * w
@@ -74,9 +96,9 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
                                 method=model.encode)
         d1, d2 = model.apply({"params": params}, feat, pos, kf.feat, kf.pos,
                              method=model.decode)
-        res11 = model.apply({"params": params}, 1, d1, (h, w),
+        res11 = model.apply({"params": params}, 1, d1, (h, w), head_mode,
                             method=model.apply_head)
-        res21 = model.apply({"params": params}, 2, d2, (h, w),
+        res21 = model.apply({"params": params}, 2, d2, (h, w), head_mode,
                             method=model.apply_head)
 
         idx_f2k_b, valid_b = matching.match(
@@ -86,6 +108,10 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
             convergence_thresh=mcfg.convergence_thresh,
             dist_thresh=mcfg.dist_thresh, radius=mcfg.radius,
             dilation_max=mcfg.dilation_max,
+            closed_form_init=mcfg.closed_form_init,
+            polish_iters=mcfg.polish_iters,
+            refine_schedule=mcfg.refine_schedule,
+            refine_quantize=mcfg.refine_quantize,
         )
         idx = idx_f2k_b[0]
         valid_match = valid_b[0]
@@ -144,15 +170,22 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
             "T_WCf": jnp.where(ok, T_WCf, T_WCf_init),
             "idx_f2k": idx_f2k_b,
             "kf": kf_new,
-            "gaussians": {
+        }
+        if head_mode == "full":
+            out["gaussians"] = {
                 k: res11[k] for k in
                 ("means", "scales", "rotations", "sh", "opacities", "conf")
-            },
-            "gaussians_cross": {
+            }
+            out["gaussians_cross"] = {
                 k: res21[k] for k in
                 ("means", "scales", "rotations", "sh", "opacities", "conf")
-            },
-        }
+            }
+        else:
+            # hook tokens + cross pts/conf for lazy Gaussian materialization
+            out["d1"] = d1
+            out["d2"] = d2
+            out["Xkf"] = Xkf
+            out["Ckf"] = Ckf
         return out, flags
 
     return step
@@ -209,8 +242,17 @@ class FusedTracker:
         frame.X_canon, frame.C = out["X"], out["C"]
         frame.N = 1
         frame.N_updates = 1
-        frame.gaussian_pred = out["gaussians"]
-        frame.gaussian_pred_cross = out["gaussians_cross"]
+        if "gaussians" in out:
+            frame.gaussian_pred = out["gaussians"]
+            frame.gaussian_pred_cross = out["gaussians_cross"]
+        else:
+            # tracking head mode: keep hook tokens; Gaussians are
+            # materialized on demand (engine.materialize_gaussians)
+            frame.gauss_hooks = {
+                "d1": out["d1"], "d2": out["d2"],
+                "X1": out["X"], "C1": out["C"],
+                "X2": out["Xkf"], "C2": out["Ckf"],
+            }
 
         if try_reloc > 0:
             if fail > 0:

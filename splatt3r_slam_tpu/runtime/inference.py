@@ -58,14 +58,48 @@ class InferenceEngine:
             )
             return r1, r2
 
+        use_offsets = getattr(model.cfg, "use_offsets", False)
+
+        @jax.jit
+        def _gauss_from_hooks(params, d1, d2, X1, C1, X2, C2):
+            """Materialize Gaussian predictions from kept decoder hooks
+            (tracking-mode frontend skipped the gaussian DPTs)."""
+            from splatt3r_slam_tpu.models.heads import combine_gaussians
+
+            g1 = model.apply({"params": params}, 1, d1, (h, w),
+                             "gaussian_only", method=model.apply_head)
+            g2 = model.apply({"params": params}, 2, d2, (h, w),
+                             "gaussian_only", method=model.apply_head)
+
+            def comb(g, X, C):
+                pts = X.reshape(1, h, w, 3)
+                conf = C.reshape(1, h, w)
+                return combine_gaussians(g, pts, conf, use_offsets)
+
+            return comb(g1, X1, C1), comb(g2, X2, C2)
+
         self._encode = _encode
         self._decode = _decode
+        self._gauss_from_hooks = _gauss_from_hooks
 
     # -- feature caching ----------------------------------------------------
 
     def ensure_encoded(self, frame: Frame):
         if frame.feat is None:
             frame.feat, frame.pos = self._encode(self.params, frame.img)
+
+    def ensure_gaussians(self, frame: Frame):
+        """Materialize frame.gaussian_pred(_cross) from kept hook tokens
+        (no-op when the frontend already ran the full heads)."""
+        if frame.gaussian_pred is not None or frame.gauss_hooks is None:
+            return
+        hk = frame.gauss_hooks
+        gp, gc = self._gauss_from_hooks(
+            self.params, hk["d1"], hk["d2"],
+            hk["X1"], hk["C1"], hk["X2"], hk["C2"],
+        )
+        frame.gaussian_pred = gp
+        frame.gaussian_pred_cross = gc
 
     # -- inference modes ----------------------------------------------------
 

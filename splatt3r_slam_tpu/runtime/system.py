@@ -153,6 +153,7 @@ class SLAMSystem:
     def _append_gaussians(self, frame: Frame, kf_idx: int):
         if self.gaussian_module is None:
             return
+        self.engine.ensure_gaussians(frame)
         out = self.gaussian_module.gaussians_to_world(frame)
         if out is None:
             return

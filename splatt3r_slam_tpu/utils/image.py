@@ -32,6 +32,19 @@ def resize_img(img: np.ndarray, size: int, square_ok: bool = False,
     assert size == 224 or size % 16 == 0
     if img.dtype != np.uint8:
         img = np.uint8(np.clip(img, 0, 1) * 255)
+    H1_, W1_ = img.shape[:2]
+    if (size != 224 and max(H1_, W1_) == size and H1_ % 16 == 0
+            and W1_ % 16 == 0 and (square_ok or H1_ != W1_)
+            and not return_transformation):
+        # Already at the target geometry: the resize is identity and the
+        # /16 crop arithmetic keeps every pixel — skip PIL entirely
+        # (~40 ms/frame of host time on a loaded core).
+        normalized = (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+        return dict(
+            img=normalized[None],
+            true_shape=np.int32([[H1_, W1_]]),
+            unnormalized_img=img,
+        )
     pim = PIL.Image.fromarray(img)
     W1, H1 = pim.size
     if size == 224:

@@ -54,7 +54,8 @@ def test_fused_matches_modular(setup):
 
 def test_fused_single_dispatch_outputs(setup):
     """Fused step populates frame state usable downstream (gaussians,
-    features, pointmaps)."""
+    features, pointmaps). Gaussians are lazily materialized from kept
+    hook tokens (tracking head mode skips the gaussian DPTs per frame)."""
     engine, h, w = setup
     imgs = _frames(h, w)
     sysm = SLAMSystem(engine, h, w, fused=True)
@@ -64,7 +65,11 @@ def test_fused_single_dispatch_outputs(setup):
         sysm.process_frame(f)
         fr.append(f)
     f = fr[-1]
+    assert f.gauss_hooks is not None or f.gaussian_pred is not None
+    engine.ensure_gaussians(f)
     assert f.gaussian_pred is not None
     assert f.gaussian_pred["means"].shape == (1, h, w, 3)
+    for k in ("scales", "rotations", "sh", "opacities", "conf"):
+        assert k in f.gaussian_pred
     assert f.X_canon.shape == (h * w, 3)
     assert np.isfinite(np.asarray(f.T_WC)).all()
