@@ -146,8 +146,6 @@ def main(argv=None):
         dataset.use_calibration = True
 
     (h, w), _ = dataset.get_img_shape()
-    if h > w:  # portrait sources run transposed-to-landscape
-        h, w = w, h
     print(f"Working resolution: {h}x{w}")
 
     cfg_model = TwoViewConfig()

@@ -183,10 +183,10 @@ class PatchEmbed(nn.Module):
     """16x16 conv patchifier → (B, N, C) tokens + (y, x) positions.
 
     Spec: blocks.py:225-256 + dust3r ManyAR_PatchEmbed (patch_embed.py:33-71).
-    Landscape layout (W >= H) is required here; the runtime transposes
-    portrait inputs before the call and transposes dense outputs back,
-    which is the same strategy as the reference's landscape wrapper
-    (`dust3r/utils/misc.py:55-95`) with static shapes per orientation.
+    Shape-polymorphic: portrait frames are fed at their true orientation
+    (checkpoint-parity verified — the reference's ManyAR computes portrait
+    tokens/positions at portrait orientation); each orientation compiles
+    once with static shapes.
     """
 
     patch_size: int = 16

@@ -12,7 +12,8 @@ Architecture spec (reference):
 TPU-native design: bf16 compute / fp32 params & LayerNorms; RoPE cos/sin
 tables computed once per view and fused into the attention einsums; the
 whole two-view forward is a single jittable pure function with static
-shapes (landscape orientation; the runtime transposes portrait frames).
+shapes (shape-polymorphic: portrait frames run at their true orientation,
+one compile per orientation).
 """
 
 from __future__ import annotations

@@ -119,8 +119,6 @@ def save_keyframes(savedir, timestamps, keyframes):
         kf = keyframes[i]
         t = timestamps[kf.frame_id]
         img = (np.asarray(kf.uimg) * 255).astype(np.uint8)
-        if getattr(kf, "portrait", False):
-            img = img.transpose(1, 0, 2)
         cv2.imwrite(str(savedir / f"{t}.png"), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
 
 

@@ -105,9 +105,9 @@ class Frame:
     # decoder hook tokens kept by the tracking-mode frontend for lazy
     # Gaussian materialization (InferenceEngine.materialize_gaussians)
     gauss_hooks: Optional[dict] = None
-    # Portrait inputs are processed transposed-to-landscape (the static-
-    # shape analogue of the reference's ManyAR patch embed + landscape
-    # wrapper, dust3r/utils/misc.py:55-95); exporters transpose uimg back.
+    # Portrait frames run at their true orientation (the net is shape-
+    # polymorphic; matches the reference's ManyAR portrait protocol,
+    # dust3r/patch_embed.py:33-71 + dust3r/utils/misc.py:55-95).
     portrait: bool = False
 
     def __post_init__(self):
@@ -185,11 +185,12 @@ def create_frame(i, img, T_WC=None, img_size=512, downsample=1,
     rgb = _device_normalize()(jnp.asarray(out["unnormalized_img"]))
     img_shape = out["true_shape"].copy()
     uimg = out["unnormalized_img"].astype(np.float32) / 255.0
+    # Portrait frames run at their true orientation: the net is shape-
+    # polymorphic and the reference's ManyAR patch embed computes portrait
+    # tokens/RoPE at portrait orientation (verified checkpoint-parity in
+    # tests/test_reference_parity.py::test_portrait_forward_parity) —
+    # transposing to landscape would change RoPE and the DPT convs.
     portrait = rgb.shape[1] > rgb.shape[2]
-    if portrait:
-        rgb = rgb.transpose(0, 2, 1, 3)
-        uimg = uimg.transpose(1, 0, 2)
-        img_shape = img_shape[:, ::-1].copy()
     if downsample > 1:
         uimg = uimg[::downsample, ::downsample]
         img_shape = img_shape // downsample

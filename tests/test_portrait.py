@@ -1,4 +1,8 @@
-"""Portrait-orientation frames run transposed-to-landscape end to end."""
+"""Portrait-orientation frames run at their TRUE orientation end to end.
+
+(The net is shape-polymorphic; checkpoint-parity of the portrait protocol
+is proven in tests/test_reference_parity.py::test_portrait_forward_parity.)
+"""
 
 import numpy as np
 
@@ -9,11 +13,11 @@ def test_create_frame_portrait(rng):
     img = rng.random((96, 64, 3)).astype(np.float32)  # portrait H>W
     f = create_frame(0, img, img_size=96)
     assert f.portrait
-    # stored landscape: W >= H
-    assert f.img.shape[2] >= f.img.shape[1]
-    assert f.uimg.shape[1] >= f.uimg.shape[0]
+    # stored at true orientation: H > W
+    assert f.img.shape[1] > f.img.shape[2]
+    assert f.uimg.shape[0] > f.uimg.shape[1]
     hs = f.img_shape.reshape(-1)
-    assert hs[1] >= hs[0]
+    assert hs[0] > hs[1]
 
 
 def test_create_frame_landscape(rng):
@@ -40,7 +44,7 @@ def test_portrait_pipeline(rng, tmp_path):
     cfgmod.config["matching"]["max_iter"] = 1
 
     cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
-    h, w = 48, 64  # landscape working shape of transposed portrait frames
+    h, w = 64, 48  # portrait working shape (true orientation)
     model, params = init_model(cfg, h, w)
     engine = InferenceEngine(model, params, h, w)
     sysm = SLAMSystem(engine, h, w)
@@ -50,6 +54,7 @@ def test_portrait_pipeline(rng, tmp_path):
         img = base[i : i + 64, i : i + 48]  # 64x48 portrait
         f = create_frame(i, img, img_size=64)
         assert f.portrait
+        assert f.img.shape[1:3] == (64, 48)
         sysm.process_frame(f)
 
     assert len(sysm.keyframes) >= 1
@@ -57,4 +62,4 @@ def test_portrait_pipeline(rng, tmp_path):
     import cv2
 
     png = cv2.imread(str(next(tmp_path.glob("*.png"))))
-    assert png.shape[0] > png.shape[1]  # exported back as portrait
+    assert png.shape[0] > png.shape[1]  # exported as portrait
