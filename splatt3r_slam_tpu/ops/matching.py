@@ -42,6 +42,28 @@ class MatchingConfig(NamedTuple):
     dilation_max: int = 5
 
 
+def match_kwargs_from_config(mcfg: dict) -> dict:
+    """config['matching'] → static kwargs for `match` (incl. the TPU
+    fast-path knobs, which default ON for the runtime; plain reference
+    YAMLs stay drop-in compatible)."""
+    dil = int(mcfg["dilation_max"])
+    sched = mcfg.get("refine_schedule")
+    sched = tuple(sched) if sched is not None else (
+        (dil, 1) if dil > 1 else (1,))
+    return dict(
+        max_iter=int(mcfg["max_iter"]),
+        lambda_init=float(mcfg["lambda_init"]),
+        convergence_thresh=float(mcfg["convergence_thresh"]),
+        dist_thresh=float(mcfg["dist_thresh"]),
+        radius=int(mcfg["radius"]),
+        dilation_max=dil,
+        closed_form_init=bool(mcfg.get("closed_form_init", True)),
+        polish_iters=int(mcfg.get("polish_iters", 2)),
+        refine_schedule=sched,
+        refine_quantize=bool(mcfg.get("refine_quantize", True)),
+    )
+
+
 def fit_pinhole(X: jnp.ndarray, eps: float = 1e-6):
     """Least-squares pinhole (fx, fy, cx, cy) from a pointmap (h, w, 3).
 

@@ -60,18 +60,7 @@ class MatchingParams(NamedTuple):
 
     @classmethod
     def from_config(cls, cfg):
-        m = cfg["matching"]
-        dil = int(m["dilation_max"])
-        sched = m.get("refine_schedule")
-        sched = tuple(sched) if sched is not None else (
-            (dil, 1) if dil > 1 else (1,))
-        return cls(int(m["max_iter"]), float(m["lambda_init"]),
-                   float(m["convergence_thresh"]), float(m["dist_thresh"]),
-                   int(m["radius"]), dil,
-                   bool(m.get("closed_form_init", True)),
-                   int(m.get("polish_iters", 2)),
-                   sched,
-                   bool(m.get("refine_quantize", True)))
+        return cls(**matching.match_kwargs_from_config(cfg["matching"]))
 
 
 def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,

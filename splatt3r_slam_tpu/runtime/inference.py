@@ -157,12 +157,7 @@ class InferenceEngine:
 
         idx_f2k, valid_match_k = matching.match(
             Xii, Xji, Dii, Dji, idx_i2j_init,
-            max_iter=int(mcfg["max_iter"]),
-            lambda_init=float(mcfg["lambda_init"]),
-            convergence_thresh=float(mcfg["convergence_thresh"]),
-            dist_thresh=float(mcfg["dist_thresh"]),
-            radius=int(mcfg["radius"]),
-            dilation_max=int(mcfg["dilation_max"]),
+            **matching.match_kwargs_from_config(mcfg),
         )
 
         def flat(a, c):
@@ -177,62 +172,59 @@ class InferenceEngine:
         return idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf
 
     def match_symmetric(self, feat_i, pos_i, feat_j, pos_j):
-        """Two full decoder passes per edge + stacked matching
-        (spec: splatt3r_utils.py:539-576). Inputs are batched (E, P, C).
+        """Batched symmetric edge matching (spec: splatt3r_utils.py:441-500,
+        `splatt3r_decode_symmetric_batch`). Inputs are batched (E, P, C).
+
+        All E edges and BOTH directions run as ONE decoder dispatch of
+        batch 2E (padded to a small bucket to bound recompiles): view-1
+        rows [i..., j...] against view-2 rows [j..., i...] give exactly
+        [Xii|Xjj] as res1 and [Xji|Xij] as res2 — the same stacking the
+        per-edge loop produced, at 1 dispatch instead of 2E.
 
         Returns (idx_i2j, idx_j2i, valid_j, valid_i, Qii, Qjj, Qji, Qij).
         """
         E = feat_i.shape[0]
-        mcfg = config["matching"]
+        Eb = next(b for b in (1, 2, 4, 8, 16, 32) if b >= E) if E <= 32 else E
 
-        Xs, Ds, Qs = [], [], []
-        for e in range(E):
-            r11, r21 = self.decoder(feat_i[e : e + 1], pos_i[e : e + 1],
-                                    feat_j[e : e + 1], pos_j[e : e + 1])
-            r22, r12 = self.decoder(feat_j[e : e + 1], pos_j[e : e + 1],
-                                    feat_i[e : e + 1], pos_i[e : e + 1])
-            Xs.append([r["pts3d"][0] for r in (r11, r21, r22, r12)])
-            Ds.append([r["desc"][0] for r in (r11, r21, r22, r12)])
-            Qs.append([r["desc_conf"][0] for r in (r11, r21, r22, r12)])
+        def padE(a):
+            if Eb == E:
+                return a
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (Eb - E,) + a.shape[1:])]
+            )
 
-        # (4, E, h, w, c)
-        X = jnp.stack([jnp.stack([x[k] for x in Xs]) for k in range(4)])
-        D = jnp.stack([jnp.stack([d[k] for d in Ds]) for k in range(4)])
-        Q = jnp.stack([jnp.stack([q[k] for q in Qs]) for k in range(4)])
+        fi, pi, fj, pj = map(padE, (feat_i, pos_i, feat_j, pos_j))
+        f1 = jnp.concatenate([fi, fj])
+        p1 = jnp.concatenate([pi, pj])
+        f2 = jnp.concatenate([fj, fi])
+        p2 = jnp.concatenate([pj, pi])
+        r1, r2 = self.decoder(f1, p1, f2, p2)
 
         ds = config.get("dataset", {}).get("img_downsample", 1)
-        if ds > 1:
-            X = X[:, :, ::ds, ::ds]
-            D = D[:, :, ::ds, ::ds]
-            Q = Q[:, :, ::ds, ::ds]
 
-        Xii, Xji, Xjj, Xij = X[0], X[1], X[2], X[3]
-        Dii, Dji, Djj, Dij = D[0], D[1], D[2], D[3]
-        Qii, Qji, Qjj, Qij = Q[0], Q[1], Q[2], Q[3]
+        def dsmap(a):
+            return a[:, ::ds, ::ds] if ds > 1 else a
 
-        X11 = jnp.concatenate([Xii, Xjj], axis=0)
-        X21 = jnp.concatenate([Xji, Xij], axis=0)
-        D11 = jnp.concatenate([Dii, Djj], axis=0)
-        D21 = jnp.concatenate([Dji, Dij], axis=0)
+        X11 = dsmap(r1["pts3d"])  # [Xii | Xjj]
+        X21 = dsmap(r2["pts3d"])  # [Xji | Xij]
+        D11 = dsmap(r1["desc"])
+        D21 = dsmap(r2["desc"])
+        Q1 = dsmap(r1["desc_conf"])  # [Qii | Qjj]
+        Q2 = dsmap(r2["desc_conf"])  # [Qji | Qij]
 
         idx_1_to_2, valid_match_2 = matching.match(
             X11, X21, D11, D21, None,
-            max_iter=int(mcfg["max_iter"]),
-            lambda_init=float(mcfg["lambda_init"]),
-            convergence_thresh=float(mcfg["convergence_thresh"]),
-            dist_thresh=float(mcfg["dist_thresh"]),
-            radius=int(mcfg["radius"]),
-            dilation_max=int(mcfg["dilation_max"]),
+            **matching.match_kwargs_from_config(config["matching"]),
         )
 
-        b = E
-        idx_i2j = idx_1_to_2[:b]
-        idx_j2i = idx_1_to_2[b:]
-        valid_j = valid_match_2[:b]
-        valid_i = valid_match_2[b:]
+        idx_i2j = idx_1_to_2[:Eb][:E]
+        idx_j2i = idx_1_to_2[Eb:][:E]
+        valid_j = valid_match_2[:Eb][:E]
+        valid_i = valid_match_2[Eb:][:E]
 
         def q(a):
-            return a.reshape(b, -1, 1)
+            return a.reshape(a.shape[0], -1, 1)
 
         return (idx_i2j, idx_j2i, valid_j, valid_i,
-                q(Qii), q(Qjj), q(Qji), q(Qij))
+                q(Q1[:Eb][:E]), q(Q1[Eb:][:E]),
+                q(Q2[:Eb][:E]), q(Q2[Eb:][:E]))
