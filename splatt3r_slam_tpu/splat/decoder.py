@@ -142,12 +142,18 @@ class DecoderSplatting:
 
 
 def render_frame(frame, ref_frame, K=None, target_T_WC=None, hw=None,
-                 k_max=512, tpg_side=4, bg=(0.0, 0.0, 0.0)):
+                 k_max=512, tpg_side=4, bg=(0.0, 0.0, 0.0),
+                 rasterizer: str = "xla"):
     """SLAM per-frame render façade (spec: splatt3r_utils.py:332-432).
 
     Renders the frame's stored gaussian predictions (self + cross, both in
     the frame's camera) from `target_T_WC` (default: the frame's own pose).
     Returns (H, W, 3) float image.
+
+    rasterizer: "xla" (default — fast, per-tile depth list capped at
+    k_max) or "pallas" (exact: composites every projected splat; measured
+    347 ms vs 293 ms at 400k gaussians, 512x384, TPU v5e — see
+    scripts/bench_rasterizer.py).
     """
     if frame.gaussian_pred is None or frame.gaussian_pred_cross is None:
         return None
@@ -197,6 +203,14 @@ def render_frame(frame, ref_frame, K=None, target_T_WC=None, hw=None,
             [[focal, 0, hw[1] / 2], [0, focal, hw[0] / 2], [0, 0, 1]],
             jnp.float32,
         )
+    if rasterizer == "pallas":
+        from splatt3r_slam_tpu.splat.pallas_rasterizer import (
+            render_tiles_pallas,
+        )
+
+        return render_tiles_pallas(means, covs, cols, opas, view, K, hw,
+                                   jnp.asarray(bg, jnp.float32),
+                                   tpg_side=tpg_side)
     return render_tiles(means, covs, cols, opas, view, K, hw,
                         jnp.asarray(bg, jnp.float32), tpg_side=tpg_side,
                         k_max=k_max)

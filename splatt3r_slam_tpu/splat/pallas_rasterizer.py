@@ -3,18 +3,28 @@
 The XLA rasterizer (`splat/rasterizer.py`) pads every tile's depth list to
 a static K_MAX and evaluates the full (tiles, K_MAX, 256) block. This
 kernel removes that waste: one grid program per 16x16 tile, per-tile
-segment offsets delivered via PrefetchScalarGridSpec, gaussian rows DMA'd
-from HBM in double-buffered chunks, and a `fori_loop` with the tile's
-*actual* chunk count — tiles with few gaussians finish early instead of
-masking K_MAX lanes.
+segment offsets delivered via PrefetchScalarGridSpec, gaussian columns
+DMA'd from HBM in double-buffered chunks, and a `fori_loop` with the
+tile's *actual* chunk count — tiles with few gaussians finish early
+instead of masking K_MAX lanes.
 
-Binning (project → depth sort → tile-key sort → contiguous per-tile
-segments) stays in XLA where sorts belong; the kernel consumes
-`pair_rows` = gaussian screen rows already ordered by (tile, depth).
+Binning (project → depth sort → tile-key sort → per-tile segments) stays
+in XLA where sorts belong; the kernel consumes `rows` = gaussian screen
+attributes already ordered by (tile, depth).
 
-Row layout (padded to 16 lanes... stored (P, 8)):
-  [u, v, conic_a, conic_b, conic_c, opacity, r, g] + second array for b.
-Here rows are (P, 16): [u v ca cb cc opa r g b 0*7].
+Mosaic layout constraints (v5e, f32 tiling (8, 128)) shape the data plane:
+- attributes are stored transposed, (ROWF=16, P): a DMA chunk is then a
+  (16, CHUNK=128) block — full sublanes, 128 lanes;
+- per-tile DMA starts at the CHUNK-floor of the segment start (keeps the
+  packing a pure gather — a scatter here serializes and is ~100x slower);
+  the in-segment head offset is masked inside the kernel;
+- in-kernel math runs in (256 pixels, CHUNK) orientation and the
+  depth-cumulative transmittance is an upper-triangular matmul on the MXU
+  (cumsum/dynamic_slice have no Mosaic TC lowering here).
+
+Replaces the compositing loop of `diff-gaussian-rasterization`
+(reference call sites `cuda_splatting.py:100-128`,
+`splatt3r_slam/visualization.py:563-594`).
 """
 
 from __future__ import annotations
@@ -28,39 +38,46 @@ from jax.experimental.pallas import tpu as pltpu
 
 from splatt3r_slam_tpu.splat.rasterizer import TILE, project_gaussians
 
-CHUNK = 128  # gaussians per DMA chunk
-ROWF = 16  # padded row width (lanes-friendly)
+CHUNK = 128  # gaussians per DMA chunk (= lane tiling)
+ROWF = 16  # padded attribute count (sublane-friendly)
+NPIX = TILE * TILE
 
 
 def _composite_kernel(
     # scalar prefetch
-    starts_ref,  # (T+1,) int32 — pair-segment starts per tile
+    startc_ref,  # (T,) int32 — floor(segment start / CHUNK) per tile
+    head_ref,  # (T,) int32 — segment start % CHUNK (masked in-kernel)
+    counts_ref,  # (T,) int32 — actual gaussian count per tile
     origins_ref,  # (T, 2) int32 — tile pixel origins (x, y)
     # inputs
-    rows_hbm,  # (P_pad, ROWF) f32 in ANY/HBM
-    bg_ref,  # (1, 3) f32 in SMEM-ish VMEM
+    rows_hbm,  # (ROWF, P_pad) f32 in ANY/HBM, transposed attribute layout
+    bg_ref,  # (1, 3) f32 in VMEM
     # output
-    out_ref,  # (TILE*TILE, 4) f32 — rgb + final transmittance
+    out_ref,  # (NPIX, 4) f32 — rgb + final transmittance
     # scratch
-    buf,  # (2, CHUNK, ROWF) VMEM
+    buf,  # (2, ROWF, CHUNK) VMEM
     sem,  # DMA semaphores (2,)
 ):
     t = pl.program_id(0)
-    start = jnp.int32(starts_ref[t])
-    end = jnp.int32(starts_ref[t + 1])
-    n = end - start
-    nchunk = pl.cdiv(n, jnp.int32(CHUNK))
+    # starts are in CHUNK units: the (start + k) * CHUNK form lets Mosaic
+    # prove lane-tile divisibility of the dynamic DMA offset
+    start_c = startc_ref[t]
+    head = head_ref[t]
+    n = counts_ref[t]
+    nchunk = pl.cdiv(head + n, jnp.int32(CHUNK))
 
     ox = origins_ref[t, 0]
     oy = origins_ref[t, 1]
-    # pixel centers (256,) laid out row-major
-    pid = jax.lax.broadcasted_iota(jnp.int32, (TILE * TILE, 1), 0)[:, 0]
+    # pixel centers, row-major over the 16x16 tile → (NPIX, 1) columns
+    pid = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
     px = (pid % TILE + ox).astype(jnp.float32) + 0.5
     py = (pid // TILE + oy).astype(jnp.float32) + 0.5
 
     def dma(slot, k):
+        # static `slot` only (no dynamic_slice in this Mosaic TC lowering);
+        # offsets are CHUNK-aligned by the packing layout.
         return pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(start + k * CHUNK, CHUNK)],
+            rows_hbm.at[:, pl.ds((start_c + k) * CHUNK, CHUNK)],
             buf.at[slot],
             sem.at[slot],
         )
@@ -69,50 +86,69 @@ def _composite_kernel(
     def _():
         dma(0, 0).start()
 
+    # upper-triangular ones: inclusive cumsum along lanes via the MXU
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    triu = (r_i <= c_i).astype(jnp.float32)
+
     def body(k, carry):
-        rgb, trans = carry  # (256, 3), (256, 1)
+        rgb, trans = carry  # (NPIX, 3), (NPIX, 1)
         slot = k % 2
 
-        @pl.when(k + 1 < nchunk)
+        @pl.when((k + 1 < nchunk) & (slot == 0))
         def _():
-            dma((k + 1) % 2, k + 1).start()
+            dma(1, k + 1).start()
 
-        dma(slot, k).wait()
-        rows = buf[slot]  # (CHUNK, ROWF)
+        @pl.when((k + 1 < nchunk) & (slot == 1))
+        def _():
+            dma(0, k + 1).start()
 
-        u = rows[:, 0:1]
-        v = rows[:, 1:2]
-        ca = rows[:, 2:3]
-        cb = rows[:, 3:4]
-        cc = rows[:, 4:5]
-        opa = rows[:, 5:6]
-        col = rows[:, 6:9]  # (CHUNK, 3)
+        @pl.when(slot == 0)
+        def _():
+            dma(0, k).wait()
 
-        du = px[None, :] - u  # (CHUNK, 256)
-        dv = py[None, :] - v
+        @pl.when(slot == 1)
+        def _():
+            dma(1, k).wait()
+
+        rows = jnp.where(slot == 0, buf[0], buf[1])  # (ROWF, CHUNK)
+
+        u = rows[0:1, :]  # (1, CHUNK)
+        v = rows[1:2, :]
+        ca = rows[2:3, :]
+        cb = rows[3:4, :]
+        cc = rows[4:5, :]
+        opa = rows[5:6, :]
+        col = rows[6:9, :]  # (3, CHUNK)
+
+        du = px - u  # (NPIX, CHUNK)
+        dv = py - v
         power = -0.5 * (ca * du * du + cc * dv * dv) - cb * du * dv
         alpha = jnp.minimum(0.99, opa * jnp.exp(power))
         alpha = jnp.where(alpha < (1.0 / 255.0), 0.0, alpha)
-        # zero rows beyond the segment
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-        alpha = jnp.where(ridx + k * CHUNK < n, alpha, 0.0)
+        # zero columns outside the segment [head, head + n)
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + k * CHUNK
+        alpha = jnp.where((j >= head) & (j < head + n), alpha, 0.0)
 
-        one_m = 1.0 - alpha  # (CHUNK, 256)
+        one_m = 1.0 - alpha  # (NPIX, CHUNK)
         # within-chunk exclusive product, sequential in depth:
-        # cumulative log-product along the chunk axis
+        # cumlog[:, j] = sum_{i<=j} log(one_m[:, i])  via logs @ triu
         logs = jnp.log(jnp.maximum(one_m, 1e-30))
-        cumlog = jnp.cumsum(logs, axis=0)
+        cumlog = jnp.dot(logs, triu, preferred_element_type=jnp.float32)
         prod_incl = jnp.exp(cumlog)
         prod_excl = prod_incl / one_m
-        w = alpha * prod_excl * trans[:, 0][None, :]  # (CHUNK, 256)
-        rgb = rgb + jnp.dot(
-            w.T, col, preferred_element_type=jnp.float32
-        )  # (256, 3)
-        trans = trans * prod_incl[-1][:, None]
+        w = alpha * prod_excl * trans  # (NPIX, CHUNK)
+        rgb = rgb + jax.lax.dot_general(
+            w, col, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (NPIX, 3)
+        trans = trans * jax.lax.slice(
+            prod_incl, (0, CHUNK - 1), (NPIX, CHUNK)
+        )
         return rgb, trans
 
-    rgb0 = jnp.zeros((TILE * TILE, 3), jnp.float32)
-    tr0 = jnp.ones((TILE * TILE, 1), jnp.float32)
+    rgb0 = jnp.zeros((NPIX, 3), jnp.float32)
+    tr0 = jnp.ones((NPIX, 1), jnp.float32)
     rgb, trans = jax.lax.fori_loop(0, nchunk, body, (rgb0, tr0))
     rgb = rgb + trans * bg_ref[0][None, :]
     out_ref[:, 0:3] = rgb
@@ -170,18 +206,23 @@ def render_tiles_pallas(
     sorted_tile = flat_tile[sidx]
     sorted_g = flat_g[sidx]
 
-    starts = jnp.searchsorted(sorted_tile, jnp.arange(T + 1)).astype(
+    seg_starts = jnp.searchsorted(sorted_tile, jnp.arange(T)).astype(
         jnp.int32
     )
+    seg_ends = jnp.searchsorted(
+        sorted_tile, jnp.arange(T), side="right"
+    ).astype(jnp.int32)
+    counts = seg_ends - seg_starts
 
-    # pre-gathered screen rows in (tile, depth) order, CHUNK-padded
     P = sorted_g.shape[0]
-    Ppad = ((P + CHUNK - 1) // CHUNK) * CHUNK + CHUNK
-    rows = jnp.zeros((Ppad, ROWF), jnp.float32)
+    P_pad = P + 2 * CHUNK  # tail overhang for floor-aligned DMA
+
     packed = jnp.concatenate(
         [means2d, conic, opa_s[:, None], colors_s], axis=-1
     )  # (G, 9)
-    rows = rows.at[:P, :9].set(packed[sorted_g])
+    attrs = packed[sorted_g]  # (P, 9) — pure gather; no scatter
+    rows = jnp.zeros((ROWF, P_pad), jnp.float32)
+    rows = rows.at[:9, :P].set(attrs.T)  # static pad, not a scatter
 
     origins = jnp.stack(
         [(jnp.arange(T, dtype=jnp.int32) % TX) * TILE,
@@ -189,27 +230,28 @@ def render_tiles_pallas(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
         ],
         out_specs=pl.BlockSpec(
-            (TILE * TILE, 4), lambda t, *_: (t, 0),
+            (NPIX, 4), lambda t, *_: (t, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, ROWF), jnp.float32),
+            pltpu.VMEM((2, ROWF, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         _composite_kernel,
-        out_shape=jax.ShapeDtypeStruct((T * TILE * TILE, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T * NPIX, 4), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts, origins, rows, bg.reshape(1, 3).astype(jnp.float32))
+    )(seg_starts // CHUNK, seg_starts % CHUNK, counts, origins, rows,
+      bg.reshape(1, 3).astype(jnp.float32))
 
     rgb = out[:, :3].reshape(TY, TX, TILE, TILE, 3)
     img = rgb.transpose(0, 2, 1, 3, 4).reshape(H, W, 3)
