@@ -98,6 +98,18 @@ def load_model_params(args, cfg_model, h, w):
     return model, params
 
 
+def _apply_gui_state(system, args, state):
+    """Apply live GUI controls to the running system, mirroring the
+    reference main loop (`main.py:368-386` consumes spatial_stride and
+    max_gaussians each tick; `main.py:545` uses C_conf_threshold)."""
+    if state.max_gaussians > 0:
+        system.pool.max_gaussians = state.max_gaussians
+    if system.gaussian_module is not None:
+        system.gaussian_module.kw["spatial_stride"] = state.spatial_stride
+        system.gaussian_module.kw["min_confidence"] = state.C_conf_threshold
+    args.c_conf_threshold = state.C_conf_threshold
+
+
 def main(argv=None):
     args = parse_args(argv)
 
@@ -194,6 +206,10 @@ def main(argv=None):
         headless = not bool(os.environ.get("DISPLAY"))
         viewer = Viewer(system, hw=(h, w), headless=headless,
                         out_dir=save_dir / f"{seq_name}_viz")
+        # seed GUI state from CLI so headless ticks are no-ops
+        viewer.state.C_conf_threshold = args.c_conf_threshold
+        viewer.state.spatial_stride = args.gaussian_stride
+        viewer.state.gs_on = not args.no_gaussians
 
     import time
 
@@ -228,10 +244,13 @@ def main(argv=None):
 
         if viewer is not None and i % 10 == 0 and system.pool.n > 0:
             state = viewer.update()
+            _apply_gui_state(system, args, state)
             if state.is_terminated:
                 break
-            while state.is_paused and not state.is_terminated:
+            while state.is_paused and not state.next and \
+                    not state.is_terminated:
                 state = viewer.update()
+            state.next = False
 
         if i % 30 == 29:
             fps = (i + 1) / (time.time() - t0)

@@ -28,12 +28,18 @@ from splatt3r_slam_tpu.utils.queues import new_queue, try_get_msg
 
 @dataclasses.dataclass
 class WindowMsg:
+    """GUI → main control channel (reference visualization.py:48-55;
+    consumed live by the main loop like reference main.py:368-386)."""
+
     is_terminated: bool = False
     is_paused: bool = False
     next: bool = False
     C_conf_threshold: float = 1.5
     gs_on: bool = True
     max_gaussians: int = -1
+    spatial_stride: int = 4
+    show_keyframes: bool = True
+    show_edges: bool = True
 
 
 def depth2rgb(depth: np.ndarray, min_d=0.1, max_d=10.0):
@@ -78,7 +84,10 @@ class Viewer:
     """GS viewer: interactive (cv2 window) or headless (PNG/MP4 sink)."""
 
     def __init__(self, system, hw=(384, 512), headless=True,
-                 out_dir="logs/viz", vfov=60.0):
+                 out_dir="logs/viz", vfov=60.0, rasterizer="xla"):
+        # rasterizer: "xla" (fast, k_max-capped tiles) or "pallas" (exact;
+        # benchmarked in scripts/bench_rasterizer.py)
+        self.rasterizer = rasterizer
         self.system = system
         self.h, self.w = hw
         self.headless = headless
@@ -106,17 +115,121 @@ class Viewer:
             center = np.asarray(means.mean(axis=0))
             T_WC_4x4 = orbit_pose(center, self.radius, self.yaw, self.pitch)
         view = np.linalg.inv(T_WC_4x4).astype(np.float32)
-        img = render_tiles(
-            means, cov, colors, opa, jnp.asarray(view),
-            jnp.asarray(self.K), (self.h, self.w), k_max=256,
-        )
+        if self.rasterizer == "pallas":
+            from splatt3r_slam_tpu.splat.pallas_rasterizer import (
+                render_tiles_pallas,
+            )
+
+            img = render_tiles_pallas(
+                means, cov, colors, opa, jnp.asarray(view),
+                jnp.asarray(self.K), (self.h, self.w),
+            )
+        else:
+            img = render_tiles(
+                means, cov, colors, opa, jnp.asarray(view),
+                jnp.asarray(self.K), (self.h, self.w), k_max=256,
+            )
         return np.clip(np.asarray(img), 0, 1)
+
+    # ---- overlays: frustums, graph edges, pointmap mode ----------------
+    def _project_pts(self, pts_w, view):
+        """World points (N,3) → pixel coords (N,2) + in-front mask."""
+        Xc = pts_w @ view[:3, :3].T + view[:3, 3]
+        z = Xc[:, 2]
+        ok = z > 1e-3
+        zs = np.where(ok, z, 1.0)
+        u = self.K[0, 0] * Xc[:, 0] / zs + self.K[0, 2]
+        v = self.K[1, 1] * Xc[:, 1] / zs + self.K[1, 2]
+        return np.stack([u, v], -1), ok, z
+
+    def _kf_centers_mats(self):
+        kfs = self.system.keyframes
+        mats = [np.asarray(sim3.matrix(kf.T_WC)) for kf in kfs]
+        return mats
+
+    def _draw_overlays(self, canvas, view):
+        """Camera frustums (red) + factor-graph edges (green), projected
+        into the free camera (reference visualization.py:233-268)."""
+        import cv2
+
+        mats = self._kf_centers_mats()
+        if not mats:
+            return canvas
+        s = 0.1  # frustum scale
+        # frustum corners in camera coords: apex + 4 image-plane corners
+        local = np.array(
+            [[0, 0, 0], [-s, -s, 2 * s], [s, -s, 2 * s],
+             [s, s, 2 * s], [-s, s, 2 * s]], np.float32
+        )
+        lines = [(0, 1), (0, 2), (0, 3), (0, 4),
+                 (1, 2), (2, 3), (3, 4), (4, 1)]
+        if self.state.show_keyframes:
+            for T in mats:
+                pts_w = local @ T[:3, :3].T + T[:3, 3]
+                uv, ok, _ = self._project_pts(pts_w, view)
+                for a, b in lines:
+                    if ok[a] and ok[b]:
+                        cv2.line(canvas, tuple(uv[a].astype(int)),
+                                 tuple(uv[b].astype(int)), (255, 64, 64), 1)
+        backend = getattr(self.system, "backend", None)
+        if self.state.show_edges and backend is not None and backend.ii:
+            centers = np.stack([T[:3, 3] for T in mats])
+            uv, ok, _ = self._project_pts(centers, view)
+            for i, j in zip(backend.ii, backend.jj):
+                if i < len(mats) and j < len(mats) and ok[i] and ok[j]:
+                    cv2.line(canvas, tuple(uv[i].astype(int)),
+                             tuple(uv[j].astype(int)), (64, 255, 64), 1)
+        return canvas
+
+    def render_pointmap_view(self, view):
+        """Pointmap scatter fallback when gs_on is off (reference surfel/
+        triangle GL modes, visualization.py:303-448): subsampled keyframe
+        points, far-to-near painter's order."""
+        canvas = np.zeros((self.h, self.w, 3), np.float32)
+        kfs = self.system.keyframes
+        pts_all, col_all = [], []
+        for kf in list(kfs)[-16:]:
+            if kf.X_canon is None:
+                continue
+            X = np.asarray(kf.X_canon).reshape(-1, 3)[::7]
+            T = np.asarray(sim3.matrix(kf.T_WC))
+            pts_all.append(X @ T[:3, :3].T + T[:3, 3])
+            col_all.append(np.asarray(kf.uimg).reshape(-1, 3)[::7])
+        if not pts_all:
+            return canvas
+        pts = np.concatenate(pts_all)
+        cols = np.concatenate(col_all)
+        uv, ok, z = self._project_pts(pts, view)
+        inb = ok & (uv[:, 0] >= 0) & (uv[:, 0] < self.w) & \
+            (uv[:, 1] >= 0) & (uv[:, 1] < self.h)
+        uv, cols, z = uv[inb], cols[inb], z[inb]
+        order = np.argsort(-z)  # far first
+        ui = uv[order].astype(np.int32)
+        canvas[ui[:, 1], ui[:, 0]] = cols[order]
+        return canvas
 
     def _compose(self):
         import cv2
 
-        gs = (self.render_gs_view() * 255).astype(np.uint8)
+        center = None
+        kfs = self.system.keyframes
+        mats = self._kf_centers_mats()
+        if mats:
+            center = np.stack([T[:3, 3] for T in mats]).mean(axis=0)
+        data = self.system.pool.get_all() if self.state.gs_on else None
+        if center is None and data is not None:
+            center = np.asarray(data[0].mean(axis=0))
+        if center is None:
+            center = np.zeros(3, np.float32)
+        T_cam = orbit_pose(center, self.radius, self.yaw, self.pitch)
+        view = np.linalg.inv(T_cam).astype(np.float32)
+
+        if self.state.gs_on and data is not None:
+            gs = (self.render_gs_view(T_cam) * 255).astype(np.uint8)
+        else:
+            gs = (self.render_pointmap_view(view) * 255).astype(np.uint8)
         canvas = gs.copy()
+        canvas = self._draw_overlays(canvas, view)
         # keyframe thumbnail strip
         kfs = self.system.keyframes
         thumbs = []
@@ -153,6 +266,8 @@ class Viewer:
                 self.state.is_terminated = True
             elif key == ord(" "):
                 self.state.is_paused = not self.state.is_paused
+            elif key == ord("n"):
+                self.state.next = True
             elif key == ord("a"):
                 self.yaw -= 0.2
             elif key == ord("d"):
@@ -161,6 +276,31 @@ class Viewer:
                 self.radius *= 0.9
             elif key == ord("s"):
                 self.radius *= 1.1
+            # GUI → main runtime controls (reference main.py:368-386)
+            elif key == ord("g"):
+                self.state.gs_on = not self.state.gs_on
+            elif key == ord("k"):
+                self.state.show_keyframes = not self.state.show_keyframes
+            elif key == ord("e"):
+                self.state.show_edges = not self.state.show_edges
+            elif key == ord("["):
+                self.state.C_conf_threshold = max(
+                    0.0, self.state.C_conf_threshold - 0.1)
+            elif key == ord("]"):
+                self.state.C_conf_threshold += 0.1
+            elif key == ord(","):
+                self.state.spatial_stride = max(
+                    1, self.state.spatial_stride - 1)
+            elif key == ord("."):
+                self.state.spatial_stride += 1
+            elif key == ord("-"):
+                if self.state.max_gaussians > 0:
+                    self.state.max_gaussians //= 2
+                else:
+                    self.state.max_gaussians = 2 * 1024 * 1024
+            elif key == ord("="):
+                if self.state.max_gaussians > 0:
+                    self.state.max_gaussians *= 2
             self.msg_queue.put(self.state)
         self._frame_idx += 1
         return self.state

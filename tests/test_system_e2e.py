@@ -116,3 +116,42 @@ def test_ate_rmse_identical_traj(tmp_path, rng):
     p2 = (2.0 * (R @ p.T)).T + np.array([1, 2, 3.0])
     np.savetxt(tmp_path / "est.txt", np.column_stack([t, p2, q]))
     assert ate_rmse(tmp_path / "gt.txt", tmp_path / "est.txt") < 1e-6
+
+
+def test_viewer_overlays_and_gui_state(slam_setup, tmp_path):
+    """Viewer parity (VERDICT r1 item 8): frustum/edge overlays render in
+    both gs and pointmap modes, and WindowMsg flows into the system."""
+    from splatt3r_slam_tpu.backend import FactorGraph
+    from splatt3r_slam_tpu.runtime.visualization import Viewer
+    from splatt3r_slam_tpu.splat import GaussianAccumulator
+
+    engine, h, w = slam_setup
+    sysm = SLAMSystem(engine, h, w)
+    sysm.backend = FactorGraph(engine, sysm.keyframes)
+    sysm.gaussian_module = GaussianAccumulator(spatial_stride=2)
+
+    for i, img in enumerate(_frames(5, h, w)):
+        sysm.process_frame(create_frame(i, img, img_size=w))
+
+    viewer = Viewer(sysm, hw=(48, 64), headless=True, out_dir=str(tmp_path))
+    state = viewer.update()  # gaussian-splat mode
+    assert (tmp_path / "000000.png").exists()
+    viewer.state.gs_on = False
+    viewer.state.show_keyframes = True
+    viewer.state.show_edges = True
+    state = viewer.update()  # pointmap mode + overlays
+    assert (tmp_path / "000001.png").exists()
+
+    # GUI state application (reference main.py:368-386)
+    import main as main_mod
+
+    class _Args:
+        c_conf_threshold = 1.5
+
+    state.max_gaussians = 1234
+    state.spatial_stride = 7
+    state.C_conf_threshold = 2.5
+    main_mod._apply_gui_state(sysm, _Args(), state)
+    assert sysm.pool.max_gaussians == 1234
+    assert sysm.gaussian_module.kw["spatial_stride"] == 7
+    assert sysm.gaussian_module.kw["min_confidence"] == 2.5
