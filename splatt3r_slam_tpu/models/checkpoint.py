@@ -226,6 +226,41 @@ def load_torch_file(path: str) -> dict:
     return out
 
 
-def load_splatt3r_params(path: str, cfg: TwoViewConfig) -> dict:
-    """Load + convert a Splatt3R/MASt3R checkpoint into flax params."""
-    return convert_state_dict(load_torch_file(path), cfg)
+HF_REPO = "brandonsmart/splatt3r_v1.0"
+HF_CKPT = "epoch=19-step=1200.ckpt"
+
+
+def resolve_checkpoint(path: str | None = None) -> str:
+    """Resolve a Splatt3R checkpoint path like the reference does
+    (`splatt3r_slam/splatt3r_utils.py:30-65`): explicit path > local
+    `checkpoints/<ckpt>` next to the repo root > HuggingFace Hub download.
+    Raises FileNotFoundError with guidance if all three fail (e.g. no
+    network egress)."""
+    import os
+
+    if path is not None:
+        return path
+    local = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "checkpoints", HF_CKPT,
+    )
+    if os.path.exists(local):
+        return local
+    try:
+        from huggingface_hub import hf_hub_download
+
+        return hf_hub_download(repo_id=HF_REPO, filename=HF_CKPT)
+    except Exception as e:
+        raise FileNotFoundError(
+            f"no checkpoint at {local} and HF download failed ({e}); "
+            f"place {HF_CKPT} under checkpoints/ or pass an explicit path"
+        ) from e
+
+
+def load_splatt3r_params(path: str | None, cfg: TwoViewConfig) -> dict:
+    """Load + convert a Splatt3R/MASt3R checkpoint into flax params.
+
+    `path=None` resolves via local-checkpoints-then-HF-Hub, matching the
+    reference's `load_splatt3r` (`splatt3r_utils.py:30-65`)."""
+    return convert_state_dict(load_torch_file(resolve_checkpoint(path)), cfg)

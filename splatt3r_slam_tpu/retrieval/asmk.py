@@ -22,6 +22,79 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class _Shim:
+    """Permissive stand-in for classes from packages absent here (asmk,
+    faiss): accepts any construction/state protocol pickle throws at it."""
+
+    def __init__(self, *args, **kwargs):
+        self._shim_args = args
+        self._shim_kwargs = kwargs
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self._shim_state = state
+
+    def __call__(self, *args, **kwargs):  # e.g. unpickled factory fns
+        return _Shim(*args, **kwargs)
+
+
+class _ShimUnpickler:
+    """pickle.Unpickler with a fallback find_class (see Codebook.load)."""
+
+    def __new__(cls, f):
+        import pickle
+
+        class _U(pickle.Unpickler):
+            def find_class(self, module, name):
+                try:
+                    return super().find_class(module, name)
+                except (ImportError, AttributeError):
+                    return type(name, (_Shim,), {"__module__": module})
+
+        return _U(f)
+
+
+def _shim_unpickle(path: str):
+    with open(path, "rb") as f:
+        return _ShimUnpickler(f).load()
+
+
+def _find_centroids(obj) -> np.ndarray | None:
+    """BFS the unpickled graph for the visual-word centroid matrix."""
+    from collections import deque
+
+    named, arrays = [], []
+    seen = set()
+    q = deque([(None, obj)])
+    while q:
+        key, node = q.popleft()
+        if id(node) in seen:
+            continue
+        seen.add(id(node))
+        if isinstance(node, np.ndarray):
+            if node.ndim == 2 and node.dtype.kind == "f" and node.size:
+                (named if _is_centroid_name(key) else arrays).append(node)
+            continue
+        if isinstance(node, dict):
+            q.extend(node.items())
+        elif isinstance(node, (list, tuple)):
+            q.extend((key, v) for v in node)
+        elif hasattr(node, "__dict__"):
+            q.extend(node.__dict__.items())
+    pool = named or arrays
+    if not pool:
+        return None
+    return max(pool, key=lambda a: a.size)
+
+
+def _is_centroid_name(key) -> bool:
+    return isinstance(key, str) and any(
+        s in key.lower() for s in ("centroid", "codebook", "cluster")
+    )
+
+
 class Codebook:
     """Visual-word centroids (K, D)."""
 
@@ -67,21 +140,23 @@ class Codebook:
 
     @staticmethod
     def load(path: str) -> "Codebook":
-        """Best-effort load of a reference codebook .pkl (faiss/asmk dump)."""
-        import pickle
+        """Load a reference `*_codebook.pkl` (asmk dump).
 
-        with open(path, "rb") as f:
-            obj = pickle.load(f)
-        if isinstance(obj, np.ndarray):
-            return Codebook(obj)
-        if isinstance(obj, dict):
-            for key in ("centroids", "codebook", "C"):
-                if key in obj:
-                    return Codebook(np.asarray(obj[key]))
-        cent = getattr(obj, "centroids", None)
-        if cent is not None:
-            return Codebook(np.asarray(cent))
-        raise ValueError(f"cannot extract centroids from {path}")
+        The reference builds its codebook with
+        `ASMKMethod.initialize_untrained(...).train_codebook(None,
+        cache_path=...)` (`mast3r/retrieval/processor.py:91-99`), whose
+        cache is a pickle of asmk-library objects. The `asmk` package is
+        not importable here, so unpickling uses a shim `find_class` that
+        substitutes a tolerant stand-in type for any unresolvable class,
+        then walks the recovered object graph for the centroid matrix
+        (preferring attributes/keys literally named like centroids, else
+        the largest float 2-D array).
+        """
+        obj = _shim_unpickle(path)
+        cent = _find_centroids(obj)
+        if cent is None:
+            raise ValueError(f"cannot extract centroids from {path}")
+        return Codebook(cent)
 
 
 @functools.partial(jax.jit, static_argnames=("ma",))

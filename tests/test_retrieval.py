@@ -94,3 +94,90 @@ def test_first_update_adds_without_query(rng):
     assert res == []
     assert db.kf_counter == 1
     assert db.ivf.n_images == 1
+
+
+# ---- real-format codebook pickle loading (VERDICT r1 item 10) -----------
+
+def _fake_asmk_pickle(tmp_path, rng, protocol=2):
+    """Byte-level mimic of asmk's codebook cache: a pickle whose payload is
+    an *instance of a class from the asmk package*, which is not importable
+    at load time (reference: processor.py:91-99 pickles library objects)."""
+    import pickle
+    import sys
+    import types
+
+    cent = rng.standard_normal((256, 24)).astype(np.float32)
+
+    mod = types.ModuleType("asmk")
+    cb_mod = types.ModuleType("asmk.codebook")
+
+    class Codebook:  # mirrors asmk.codebook.Codebook attribute layout
+        pass
+
+    Codebook.__qualname__ = "Codebook"
+    cb = Codebook()
+    cb.params = {"size": 256}
+    cb.metadata = {"train_time": 1.0}
+    cb.centroids = cent
+    cb_mod.Codebook = Codebook
+    Codebook.__module__ = "asmk.codebook"
+    mod.codebook = cb_mod
+    sys.modules["asmk"] = mod
+    sys.modules["asmk.codebook"] = cb_mod
+    try:
+        path = tmp_path / "model_codebook.pkl"
+        with open(path, "wb") as f:
+            pickle.dump({"codebook": cb, "metadata": {}}, f, protocol)
+    finally:
+        del sys.modules["asmk"]
+        del sys.modules["asmk.codebook"]
+    return str(path), cent
+
+
+def test_codebook_load_shims_missing_asmk_classes(tmp_path, rng):
+    path, cent = _fake_asmk_pickle(tmp_path, rng)
+    cb = asmk_mod.Codebook.load(path)
+    np.testing.assert_array_equal(cb.centroids, cent)
+
+
+def test_codebook_load_nested_tuple_state(tmp_path, rng):
+    """Classes with tuple __getstate__ and nested containers still load."""
+    import pickle
+    import sys
+    import types
+
+    cent = rng.standard_normal((128, 16)).astype(np.float32)
+    mod = types.ModuleType("faissish")
+
+    class Quantizer:
+        def __getstate__(self):
+            return (self.centroids, "meta")
+
+        def __setstate__(self, s):
+            self.centroids = s[0]
+
+    Quantizer.__qualname__ = "Quantizer"
+    q = Quantizer()
+    q.centroids = cent
+    Quantizer.__module__ = "faissish"
+    mod.Quantizer = Quantizer
+    sys.modules["faissish"] = mod
+    try:
+        path = tmp_path / "cb.pkl"
+        with open(path, "wb") as f:
+            pickle.dump([{"quantizer": q}], f)
+    finally:
+        del sys.modules["faissish"]
+    cb = asmk_mod.Codebook.load(path)
+    np.testing.assert_array_equal(cb.centroids, cent)
+
+
+def test_codebook_load_plain_array(tmp_path, rng):
+    import pickle
+
+    cent = rng.standard_normal((64, 8)).astype(np.float32)
+    path = tmp_path / "cb.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(cent, f)
+    cb = asmk_mod.Codebook.load(str(path))
+    np.testing.assert_array_equal(cb.centroids, cent)
