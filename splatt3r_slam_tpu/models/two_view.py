@@ -69,7 +69,7 @@ class TwoViewConfig(NamedTuple):
             enc_depth=2,
             enc_num_heads=2,
             dec_embed_dim=48,
-            dec_depth=12,  # head hooks need depth 12
+            dec_depth=4,  # hooks scale with depth: h=[d/2-1, 3d/4-1, d-1]
             dec_num_heads=2,
             head_feature_dim=16,
             head_layer_dims=(8, 12, 16, 24),

@@ -16,15 +16,19 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-
 import jax  # noqa: E402
 
 # sitecustomize's PJRT registration overrides jax_platforms via
 # jax.config.update (which beats env vars) — override it back, or every
 # eager op dispatches over the remote TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: env vars don't take effect in this image
+# (sitecustomize initializes jax first); config.update does. Repeat suite
+# runs then skip XLA:CPU recompilation entirely.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_TEST_CACHE", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # x64 on: finite-difference oracles need f64; production code pins f32/bf16
 # dtypes explicitly so this only affects test-side math.

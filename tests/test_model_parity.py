@@ -22,9 +22,13 @@ from torch_oracle import TwoViewOracle  # noqa: E402
 @pytest.fixture(scope="module")
 def pair():
     torch.manual_seed(0)
-    oracle = TwoViewOracle()
-    oracle.eval()
     cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
+    oracle = TwoViewOracle(
+        enc_dim=cfg.enc_embed_dim, enc_depth=cfg.enc_depth,
+        enc_heads=cfg.enc_num_heads, dec_dim=cfg.dec_embed_dim,
+        dec_depth=cfg.dec_depth, dec_heads=cfg.dec_num_heads,
+    )
+    oracle.eval()
     sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
     params = convert_state_dict(sd, cfg)
     model = Splatt3RModel(cfg)

@@ -16,7 +16,7 @@ def test_train_step_dp_fsdp():
     cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
     trainer = Trainer(cfg, TrainConfig(train_gaussian_heads_only=False),
                       mesh=mesh)
-    h, w = 32, 48
+    h, w = 16, 32
     params, opt_state, pshard = trainer.init_state(h, w)
     step = trainer.make_train_step(pshard)
 
@@ -46,7 +46,7 @@ def test_gaussian_only_freezing():
     cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
     trainer = Trainer(cfg, TrainConfig(train_gaussian_heads_only=True),
                       mesh=mesh)
-    h, w = 32, 48
+    h, w = 16, 32
     params, opt_state, pshard = trainer.init_state(h, w)
     step = trainer.make_train_step(pshard)
     rng = np.random.default_rng(1)
