@@ -44,7 +44,7 @@ class TrainConfig(NamedTuple):
     mse_weight: float = 1.0
     ssim_weight: float = 0.0
     render_loss: bool = False  # photometric loss on rendered target views
-    lpips_weight: float = 0.0  # reserved: perceptual term (needs VGG)
+    lpips_weight: float = 0.0  # perceptual term (utils/lpips.py; needs VGG weights)
     sh_residual: bool = True  # learn_residual (main.py:110-118)
     k_max: int = 256  # rasterizer depth-list cap during training
 
@@ -71,6 +71,18 @@ def regr3d_conf_loss(pred1, pred2, gt1_pts, gt2_pts, valid1, valid2,
     )
 
 
+def _lpips_term(lpips_params, img, gt, mask=None):
+    """Reference LPIPS reduction (`splatt3r_core/main.py:220-225`):
+    spatial map masked-averaged when a loss mask is given, else the plain
+    batch mean. Inputs are [0, 1] NHWC."""
+    from splatt3r_slam_tpu.utils.lpips import lpips_from_01
+
+    if mask is not None:
+        lp_map = lpips_from_01(lpips_params, img, gt, spatial=True)
+        return jnp.sum(lp_map * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.mean(lpips_from_01(lpips_params, img, gt, spatial=False))
+
+
 def _label_params(params, gaussian_only: bool):
     def label(path, x):
         if not gaussian_only:
@@ -89,11 +101,16 @@ class Trainer:
     """
 
     def __init__(self, model_cfg: TwoViewConfig, train_cfg: TrainConfig,
-                 mesh=None, n_devices=None, fsdp: int = 1):
+                 mesh=None, n_devices=None, fsdp: int = 1,
+                 lpips_params=None):
         self.model_cfg = model_cfg
         self.cfg = train_cfg
         self.model = Splatt3RModel(model_cfg)
         self.mesh = mesh if mesh is not None else make_mesh(n_devices, fsdp)
+        # LPIPS-VGG calibration tree (utils/lpips.py); pass
+        # load_lpips_params(path) when real weights are on disk — the
+        # reference trains with lpips.LPIPS('vgg') (main.py:86-88).
+        self.lpips_params = lpips_params
 
         sched = optax.piecewise_constant_schedule(
             train_cfg.lr,
@@ -174,6 +191,14 @@ class Trainer:
                 )
                 metrics["ssim"] = s
                 loss = loss + self.cfg.ssim_weight * (1.0 - s)
+            if self.cfg.lpips_weight and self.lpips_params is not None:
+                lp = _lpips_term(self.lpips_params,
+                                 rendered.reshape(-1, H, W, 3),
+                                 gt.reshape(-1, H, W, 3),
+                                 None if mask is None
+                                 else mask.reshape(-1, H, W))
+                metrics["lpips"] = lp
+                loss = loss + self.cfg.lpips_weight * lp
 
         if (self.cfg.mast3r_loss_weight is not None) or not self.cfg.render_loss:
             w = (self.cfg.mast3r_loss_weight
@@ -192,13 +217,14 @@ class Trainer:
     def make_eval_step(self):
         """Validation/test metrics on rendered target views
         (reference val/test steps log MSE/PSNR/LPIPS/SSIM,
-        `splatt3r_core/main.py:148-262`; LPIPS needs a VGG net — hook
-        reserved, reported as NaN when unavailable)."""
+        `splatt3r_core/main.py:148-262`; LPIPS reported when the trainer
+        was given a VGG param tree, NaN otherwise)."""
         from splatt3r_slam_tpu.utils.metrics import (
             mse as mse_fn, psnr_from_mse, ssim_mean,
         )
 
         k_max = self.cfg.k_max
+        lpips_params = self.lpips_params
 
         @jax.jit
         def eval_step(params, batch):
@@ -237,12 +263,20 @@ class Trainer:
             gt = batch["target_img"]
             mask = batch.get("loss_mask")
             m = mse_fn(rendered, gt, mask)
+            lp = (
+                _lpips_term(lpips_params, rendered.reshape(-1, H, W, 3),
+                            gt.reshape(-1, H, W, 3),
+                            None if mask is None
+                            else mask.reshape(-1, H, W))
+                if lpips_params is not None
+                else jnp.nan  # no VGG weights supplied
+            )
             return {
                 "mse": m,
                 "psnr": psnr_from_mse(m),
                 "ssim": ssim_mean(rendered.reshape(-1, H, W, 3),
                                   gt.reshape(-1, H, W, 3)),
-                "lpips": jnp.nan,  # VGG-based LPIPS unavailable in-image
+                "lpips": lp,
             }, rendered
 
         return eval_step
