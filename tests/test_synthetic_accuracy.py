@@ -1,0 +1,258 @@
+"""Trajectory-accuracy oracles: tracker + backend GN on ground-truth data.
+
+VERDICT r1 item 7: the e2e smoke tests only assert survival. Here the
+network is bypassed with a FakeEngine that serves *exact* pointmaps and
+correspondences from a known scene (a textured plane) and a known camera
+trajectory — the only accuracy oracle available without real checkpoint
+weights.
+
+Three tiers (pixel-index matching quantizes correspondences to the grid,
+which biases tiny-image pose estimates ~25% of a 2° motion, so only
+integer-pixel trajectories are *exact* end-to-end):
+1. frontend GN with exact 3-D pairs → pose recovered to ~1e-3 (verified:
+   exact to 4 decimals; catches Sim(3)/GN math regressions);
+2. full SLAM loop (INIT → TRACKING → keyframes → backend GN) on a
+   frontoparallel plane with integer-pixel camera shifts — correspondences
+   exact → tight Sim3-aligned ATE;
+3. full loop on a sloped plane with rotation — quantization-limited, loose
+   bounds (regression canary for gross breakage).
+
+Mirrors the reference eval protocol (`scripts/eval_tum.sh:33-52`,
+evo_ape-style Sim3-aligned RMSE) with the built-in umeyama alignment.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from splatt3r_slam_tpu import config as cfgmod
+from splatt3r_slam_tpu.backend import FactorGraph
+from splatt3r_slam_tpu.lie import sim3
+from splatt3r_slam_tpu.runtime.evaluate import umeyama_alignment
+from splatt3r_slam_tpu.runtime.frame import create_frame
+from splatt3r_slam_tpu.runtime.system import SLAMSystem
+from splatt3r_slam_tpu.tracking.tracker import (
+    TrackingConfig,
+    opt_pose_ray_dist_sim3,
+)
+
+H, W = 48, 64
+N = H * W
+FOCAL = float(W)
+# sloped plane n·X = d (depth variation conditions the rotating scenario)
+PLANE_N = np.array([0.25, 0.15, 1.0]) / np.linalg.norm([0.25, 0.15, 1.0])
+PLANE_D = 2.0
+
+
+def _rays():
+    u, v = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5,
+                       indexing="xy")
+    r = np.stack(
+        [(u - W / 2) / FOCAL, (v - H / 2) / FOCAL, np.ones_like(u)], -1
+    )
+    return r.reshape(-1, 3)  # (N, 3), v-major
+
+
+def _gt_pointmap_cam(T, n, d):
+    """Per-pixel intersection with the plane n·X = d, camera coords."""
+    r = _rays()
+    Rw = (T[:3, :3] @ r.T).T
+    tstar = (d - n @ T[:3, 3]) / (Rw @ n)
+    return r * tstar[:, None]  # X_cam = t* · ray
+
+
+def _project_into(T_src, T_dst, n, d):
+    """Map src pixels' world points into dst's image: returns
+    (flat pixel idx (N,), in-bounds mask (N,), X in dst cam (N, 3))."""
+    Xc_src = _gt_pointmap_cam(T_src, n, d)
+    Xw = (T_src[:3, :3] @ Xc_src.T).T + T_src[:3, 3]
+    Xc = (T_dst[:3, :3].T @ (Xw - T_dst[:3, 3]).T).T
+    z = np.maximum(Xc[:, 2], 1e-9)
+    u = FOCAL * Xc[:, 0] / z + W / 2
+    v = FOCAL * Xc[:, 1] / z + H / 2
+    ui = np.clip(np.floor(u).astype(np.int64), 0, W - 1)
+    vi = np.clip(np.floor(v).astype(np.int64), 0, H - 1)
+    ok = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (Xc[:, 2] > 0)
+    return vi * W + ui, ok, Xc
+
+
+class FakeEngine:
+    """Serves exact geometry; mirrors InferenceEngine's surface."""
+
+    CONF = 10.0
+
+    def __init__(self, plane_n=PLANE_N, plane_d=PLANE_D):
+        self.gt = {}  # frame_id -> 4x4 GT pose
+        self.n, self.d = plane_n, plane_d
+
+    def register(self, frame_id, T):
+        self.gt[frame_id] = T
+
+    def ensure_encoded(self, frame):
+        if frame.feat is None:
+            # encode the frame id so match_symmetric can recover GT
+            frame.feat = jnp.full((1, 1, 1), float(frame.frame_id))
+            frame.pos = jnp.zeros((1, 1, 2))
+
+    def ensure_gaussians(self, frame):
+        pass
+
+    def inference_mono(self, frame):
+        X = _gt_pointmap_cam(self.gt[frame.frame_id], self.n, self.d)
+        C = np.full((N, 1), self.CONF, np.float32)
+        return jnp.asarray(X, jnp.float32), jnp.asarray(C)
+
+    def match_asymmetric(self, frame, keyframe, idx_i2j_init=None):
+        Tf = self.gt[frame.frame_id]
+        Tk = self.gt[keyframe.frame_id]
+        # for each keyframe pixel: its match in the frame + its GT
+        # position in the frame's camera (the decoder cross-prediction)
+        idx, ok, Xkf = _project_into(Tk, Tf, self.n, self.d)
+        Xff = _gt_pointmap_cam(Tf, self.n, self.d)
+        ones = np.full((N, 1), self.CONF, np.float32)
+        return (
+            jnp.asarray(idx[None], jnp.int32),
+            jnp.asarray(ok[None, :, None]),
+            jnp.asarray(Xff, jnp.float32), jnp.asarray(ones),
+            jnp.asarray(ones),
+            jnp.asarray(Xkf, jnp.float32), jnp.asarray(ones),
+            jnp.asarray(ones),
+        )
+
+    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j):
+        ids_i = np.asarray(feat_i)[:, 0, 0].astype(int)
+        ids_j = np.asarray(feat_j)[:, 0, 0].astype(int)
+        E = len(ids_i)
+        idx_i2j = np.zeros((E, N), np.int64)
+        idx_j2i = np.zeros((E, N), np.int64)
+        valid_j = np.zeros((E, N, 1), bool)
+        valid_i = np.zeros((E, N, 1), bool)
+        for e, (fi, fj) in enumerate(zip(ids_i, ids_j)):
+            Ti, Tj = self.gt[fi], self.gt[fj]
+            idx_i2j[e], valid_j[e, :, 0], _ = _project_into(
+                Tj, Ti, self.n, self.d)
+            idx_j2i[e], valid_i[e, :, 0], _ = _project_into(
+                Ti, Tj, self.n, self.d)
+        Q = jnp.full((E, N, 1), self.CONF)
+        return (jnp.asarray(idx_i2j, jnp.int32),
+                jnp.asarray(idx_j2i, jnp.int32),
+                jnp.asarray(valid_j), jnp.asarray(valid_i), Q, Q, Q, Q)
+
+
+def _run_slam(engine, poses):
+    sysm = SLAMSystem(engine, H, W, fused=False)
+    sysm.backend = FactorGraph(engine, sysm.keyframes)
+    rng = np.random.default_rng(0)
+    tex = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    for i, T in enumerate(poses):
+        engine.register(i, T)
+        sysm.process_frame(create_frame(i, tex.copy(), img_size=W))
+    return sysm
+
+
+def _ate(sysm, engine):
+    est = np.stack(
+        [np.asarray(sim3.matrix(kf.T_WC))[:3, 3] for kf in sysm.keyframes]
+    )
+    gt = np.stack([engine.gt[kf.frame_id][:3, 3] for kf in sysm.keyframes])
+    s, R, t = umeyama_alignment(est, gt)
+    err = (s * (R @ est.T)).T + t - gt
+    return float(np.sqrt((err ** 2).sum(axis=1).mean()))
+
+
+# ---- tier 1: frontend GN with exact pairs --------------------------------
+
+def test_gn_recovers_pose_from_exact_pairs():
+    """Rotation + translation + exact 3-D pairs → pose to ~1e-3."""
+    cfgmod.load_config("config/base.yaml")
+    tcfg = TrackingConfig.from_config(cfgmod.config)
+    yaw = 0.06
+    c, s = np.cos(yaw), np.sin(yaw)
+    Tf = np.eye(4)
+    Tf[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    Tf[:3, 3] = [0.6, 0.05, 0.08]
+    Tk = np.eye(4)
+    Xk = _gt_pointmap_cam(Tk, PLANE_N, PLANE_D)
+    _, ok, Xf_exact = _project_into(Tk, Tf, PLANE_N, PLANE_D)
+    Q = jnp.full((N, 1), 10.0)
+    T_WCf, _, fail = opt_pose_ray_dist_sim3(
+        jnp.asarray(Xf_exact, jnp.float32), jnp.asarray(Xk, jnp.float32),
+        sim3.identity(), sim3.identity(), Q,
+        jnp.asarray(ok)[:, None], tcfg,
+    )
+    assert not bool(fail)
+    T = np.asarray(sim3.matrix(T_WCf))
+    sc = np.cbrt(np.linalg.det(T[:3, :3]))
+    np.testing.assert_allclose(sc, 1.0, atol=1e-3)
+    np.testing.assert_allclose(T[:3, 3], Tf[:3, 3], atol=2e-3)
+    np.testing.assert_allclose(T[:3, :3] / sc, Tf[:3, :3], atol=1e-3)
+
+
+# ---- tier 2: full loop, integer-pixel shifts → exact ----------------------
+
+def _int_shift_poses(n_frames, px_per_frame=7, py_every=4):
+    """Frontoparallel plane + integer-pixel translations: index matching
+    is exact, so the whole pipeline should be."""
+    d = PLANE_D
+    poses = []
+    for i in range(n_frames):
+        T = np.eye(4)
+        T[0, 3] = i * px_per_frame * d / FOCAL
+        T[1, 3] = (i // py_every) * d / FOCAL
+        poses.append(T)
+    return poses
+
+
+@pytest.fixture(scope="module")
+def exact_run():
+    cfgmod.load_config("config/base.yaml")
+    engine = FakeEngine(plane_n=np.array([0.0, 0.0, 1.0]), plane_d=2.0)
+    sysm = _run_slam(engine, _int_shift_poses(20))
+    return sysm, engine
+
+
+def test_exact_loop_multiple_keyframes(exact_run):
+    sysm, _ = exact_run
+    assert len(sysm.keyframes) >= 3, "trajectory should span several KFs"
+    assert sysm.backend.ii, "backend should hold factor-graph edges"
+
+
+def test_exact_loop_ate_tight(exact_run):
+    sysm, engine = exact_run
+    rmse = _ate(sysm, engine)
+    assert rmse < 2e-3, f"aligned ATE {rmse:.5f} too high for exact data"
+
+
+def test_exact_loop_scale_unity(exact_run):
+    sysm, _ = exact_run
+    for kf in sysm.keyframes:
+        T = np.asarray(sim3.matrix(kf.T_WC))
+        sc = np.cbrt(np.linalg.det(T[:3, :3]))
+        np.testing.assert_allclose(sc, 1.0, atol=5e-3)
+
+
+# ---- tier 3: rotating trajectory, quantization-limited --------------------
+
+def _rot_poses(n_frames):
+    poses = []
+    for i in range(n_frames):
+        yaw = 0.012 * i
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        T[:3, 3] = [0.22 * i, 0.03 * np.sin(0.5 * i), 0.02 * i]
+        poses.append(T)
+    return poses
+
+
+def test_rotating_loop_ate_loose():
+    """Pixel-index matching limits accuracy here (half-pixel
+    correspondence quantization at 64 px); bound is a gross-regression
+    canary, not an exactness claim."""
+    cfgmod.load_config("config/base.yaml")
+    engine = FakeEngine()
+    sysm = _run_slam(engine, _rot_poses(16))
+    assert len(sysm.keyframes) >= 3
+    rmse = _ate(sysm, engine)
+    assert rmse < 0.08, f"aligned ATE {rmse:.4f} beyond quantization budget"
