@@ -104,6 +104,8 @@ class SLAMSystem:
         self._backend_lock = threading.Lock()
         self._backend_queue: list[int] = []
         self._backend_thread = None
+        self._backend_busy = False
+        self._backend_error: Exception | None = None
         self._stop = False
         self.viz_queue = viz_queue
 
@@ -135,17 +137,30 @@ class SLAMSystem:
             with self._backend_lock:
                 if self._backend_queue:
                     task = self._backend_queue.pop(0)
+                    self._backend_busy = True
             if task is None:
                 time.sleep(0.002)
                 continue
-            self._run_backend_task(task)
+            try:
+                self._run_backend_task(task)
+            except Exception as e:  # surfaced on the main thread by drain
+                with self._backend_lock:
+                    self._backend_error = e
+                    self._backend_busy = False
+                return
+            with self._backend_lock:
+                self._backend_busy = False
 
     def _drain_backend(self):
+        """Block until the worker is idle; re-raise any worker failure."""
         import time
 
         while True:
             with self._backend_lock:
-                if not self._backend_queue:
+                if self._backend_error is not None:
+                    err, self._backend_error = self._backend_error, None
+                    raise err
+                if not self._backend_queue and not self._backend_busy:
                     return
             time.sleep(0.002)
 
