@@ -57,10 +57,21 @@ class MatchingParams(NamedTuple):
     polish_iters: int = 2
     refine_schedule: tuple | None = None  # None → (dilation_max, 1)
     refine_quantize: bool = True
+    # match_stride s > 1 runs matching + the pose GN on an (h/s, w/s)
+    # subgrid. TPU gathers pay per ROW (~50 ns), so the refine/iter-proj
+    # gathers dominate the frame at full res (34 of 62 ms measured,
+    # scripts/profile_stages.py); s=2 keeps ~49k GN correspondences (pose
+    # noise grows only √4) while all pointmap fusion, heads, and mapping
+    # stay full-res. The reference's analogous mechanism is
+    # config.dataset.img_downsample (splatt3r_utils.py:104-113), which
+    # coarsens the whole pipeline instead.
+    match_stride: int = 1
 
     @classmethod
     def from_config(cls, cfg):
-        return cls(**matching.match_kwargs_from_config(cfg["matching"]))
+        kw = matching.match_kwargs_from_config(cfg["matching"])
+        kw["match_stride"] = int(cfg["matching"].get("match_stride", 1))
+        return cls(**kw)
 
 
 def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
@@ -78,6 +89,19 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
     """
 
     n = h * w
+    s = max(1, int(mcfg.match_stride))
+    hs, ws = h // s, w // s
+    ns = hs * ws
+
+    def sub_grid(a):
+        """(1, h, w, c) → (1, hs, ws, c) matching subgrid view."""
+        return a[:, ::s, ::s] if s > 1 else a
+
+    def sub_flat(a):
+        """(n, c) full-res rows → (ns, c) subgrid rows."""
+        if s == 1:
+            return a
+        return a.reshape(h, w, -1)[::s, ::s].reshape(ns, -1)
 
     @jax.jit
     def step(params, img, kf: KFState, T_WCf_init, idx_init):
@@ -90,8 +114,11 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
         res21 = model.apply({"params": params}, 2, d2, (h, w), head_mode,
                             method=model.apply_head)
 
+        # matching + pose GN run on the (hs, ws) subgrid (match_stride
+        # rationale above); pointmap fusion below stays full-res
         idx_f2k_b, valid_b = matching.match(
-            res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
+            sub_grid(res11["pts3d"]), sub_grid(res21["pts3d"]),
+            sub_grid(res11["desc"]), sub_grid(res21["desc"]),
             idx_init,
             max_iter=mcfg.max_iter, lambda_init=mcfg.lambda_init,
             convergence_thresh=mcfg.convergence_thresh,
@@ -107,29 +134,34 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
 
         Xff = res11["pts3d"][0].reshape(n, 3)
         Cff = res11["conf"][0].reshape(n, 1)
-        Qff = res11["desc_conf"][0].reshape(n, 1)
         Xkf = res21["pts3d"][0].reshape(n, 3)
         Ckf = res21["conf"][0].reshape(n, 1)
-        Qkf = res21["desc_conf"][0].reshape(n, 1)
+
+        Xff_s = sub_flat(Xff)
+        Cff_s = sub_flat(Cff)
+        Qff_s = sub_grid(res11["desc_conf"])[0].reshape(ns, 1)
+        Qkf_s = sub_grid(res21["desc_conf"])[0].reshape(ns, 1)
+        Xk_s = sub_flat(kf.X)
+        Ck_s = sub_flat(kf.C)
 
         # masks & fractions (tracker.py:41-66, 104-110)
-        Qk = jnp.sqrt(Qff[idx] * Qkf)
-        Cf_avg = Cff  # new frame: N=1
-        Ck_avg = kf.C / kf.N_fused
+        Qk = jnp.sqrt(Qff_s[idx] * Qkf_s)
+        Cf_avg = Cff_s  # new frame: N=1
+        Ck_avg = Ck_s / kf.N_fused
         valid_Q = Qk > tcfg.Q_conf
         valid_opt = (valid_match & (Cf_avg[idx] > tcfg.C_conf)
                      & (Ck_avg > tcfg.C_conf) & valid_Q)
         valid_kf = valid_match & valid_Q
         match_frac = valid_opt.mean()
         match_frac_k = valid_kf.mean()
-        hits = jnp.zeros((n,), bool).at[
+        hits = jnp.zeros((ns,), bool).at[
             jnp.where(valid_match[:, 0], idx, 0)
         ].set(True)
         n_unique = hits.sum() - (~valid_match[0, 0] & hits[0])
-        unique_frac = n_unique / n
+        unique_frac = n_unique / ns
 
         T_WCf, T_CkCf, fail = opt_pose_ray_dist_sim3(
-            Xff[idx], kf.X, T_WCf_init, kf.T_WC, Qk, valid_opt, tcfg
+            Xff_s[idx], Xk_s, T_WCf_init, kf.T_WC, Qk, valid_opt, tcfg
         )
 
         low_overlap = match_frac < tcfg.min_match_frac

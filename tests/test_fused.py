@@ -21,6 +21,9 @@ def setup():
     cfgmod.config["tracking"]["max_iters"] = 4
     cfgmod.config["tracking"]["min_match_frac"] = 0.0
     cfgmod.config["matching"]["max_iter"] = 2
+    # modular-equivalence tests need full-res matching (the modular path
+    # has no subgrid mode); the stride path gets its own test below
+    cfgmod.config["matching"]["match_stride"] = 1
     cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
     h, w = 48, 64
     model, params = init_model(cfg, h, w)
@@ -73,3 +76,22 @@ def test_fused_single_dispatch_outputs(setup):
         assert k in f.gaussian_pred
     assert f.X_canon.shape == (h * w, 3)
     assert np.isfinite(np.asarray(f.T_WC)).all()
+
+
+def test_fused_match_stride_2_runs(setup):
+    """match_stride=2: the production TPU fast path compiles, tracks, and
+    produces finite poses/flags on the subgrid (quality rationale in
+    runtime/fused.py MatchingParams)."""
+    engine, h, w = setup
+    imgs = _frames(h, w)
+    old = cfgmod.config["matching"].get("match_stride", 1)
+    cfgmod.config["matching"]["match_stride"] = 2
+    try:
+        sysm = SLAMSystem(engine, h, w, fused=True)
+        for i, img in enumerate(imgs):
+            f = create_frame(i, img, img_size=w)
+            sysm.process_frame(f)
+            assert np.isfinite(np.asarray(f.T_WC)).all()
+        assert len(sysm.keyframes) >= 1
+    finally:
+        cfgmod.config["matching"]["match_stride"] = old
