@@ -95,7 +95,15 @@ def main():
     mcfg = MatchingParams.from_config(cfgmod.config)
     step = make_fused_track_step(model, h, w, tcfg, mcfg)
 
-    kf_frame = create_frame(0, frames[0], img_size=w)
+    # ingest (resize+upload) prefetched on a worker thread, as in the
+    # production loops (FramePrefetcher in system.run / main.py)
+    from splatt3r_slam_tpu.runtime.frame import FramePrefetcher
+
+    prefetch = FramePrefetcher(
+        lambda i: create_frame(i, frames[i], img_size=w), n_frames
+    )
+
+    kf_frame = prefetch.get(0)
     X, C = engine.inference_mono(kf_frame)
     kf = KFState(
         feat=kf_frame.feat, pos=kf_frame.pos, X=X, C=C,
@@ -103,7 +111,7 @@ def main():
     )
 
     def track_step(i, kf):
-        f = create_frame(i, frames[i], img_size=w)
+        f = prefetch.get(i)
         out, flags = step(params, f.img, kf, f.T_WC, None)
         return out["kf"], flags
 

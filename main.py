@@ -216,13 +216,22 @@ def main(argv=None):
     downsample = cfgmod.config["dataset"]["img_downsample"]
     n = len(dataset) if args.max_frames is None else min(len(dataset),
                                                          args.max_frames)
+
+    # dataset read + resize + upload overlap device compute (the
+    # reference's separate dataloader process, main.py 3-process pipeline)
+    from splatt3r_slam_tpu.runtime.frame import FramePrefetcher
+
+    def load(i):
+        ts, img = dataset[i]
+        return ts, create_frame(i, img, img_size=args.img_size,
+                                downsample=downsample)
+
+    prefetch = FramePrefetcher(load, n)
     timestamps = []
     t0 = time.time()
     for i in range(n):
-        ts, img = dataset[i]
+        ts, frame = prefetch.get(i)
         timestamps.append(ts)
-        frame = create_frame(i, img, img_size=args.img_size,
-                             downsample=downsample)
         if K is not None:
             frame.K = K
         system.process_frame(frame)

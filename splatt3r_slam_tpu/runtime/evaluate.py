@@ -18,6 +18,8 @@ import struct
 import cv2
 import numpy as np
 
+from splatt3r_slam_tpu.runtime.frame import uimg01
+
 from splatt3r_slam_tpu.config import config
 from splatt3r_slam_tpu.geometry.projective import constrain_points_to_ray
 from splatt3r_slam_tpu.lie import sim3
@@ -102,7 +104,7 @@ def save_reconstruction(savedir, filename, keyframes, c_conf_threshold):
             img_size = tuple(int(v) for v in np.asarray(kf.img_shape).reshape(-1)[:2])
             X = constrain_points_to_ray(img_size, X[None], kf.K)[0]
         pW = np.asarray(sim3.act(kf.T_WC, X)).reshape(-1, 3)
-        color = (np.asarray(kf.uimg) * 255).astype(np.uint8).reshape(-1, 3)
+        color = (uimg01(kf) * 255).astype(np.uint8).reshape(-1, 3)
         valid = (
             np.asarray(kf.get_average_conf()).reshape(-1) > c_conf_threshold
         )
@@ -118,7 +120,7 @@ def save_keyframes(savedir, timestamps, keyframes):
     for i in range(len(keyframes)):
         kf = keyframes[i]
         t = timestamps[kf.frame_id]
-        img = (np.asarray(kf.uimg) * 255).astype(np.uint8)
+        img = (uimg01(kf) * 255).astype(np.uint8)
         cv2.imwrite(str(savedir / f"{t}.png"), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
 
 

@@ -90,7 +90,7 @@ class Frame:
     img: jnp.ndarray  # (1, h, w, 3) normalized NHWC
     img_shape: np.ndarray  # (1, 2) [h, w] after downsample
     img_true_shape: np.ndarray  # (1, 2)
-    uimg: np.ndarray  # (h, w, 3) float [0,1] host
+    uimg: np.ndarray  # (h, w, 3) uint8 host (uimg01() for float)
     T_WC: jnp.ndarray = None  # (8,) Sim3
     X_canon: Optional[jnp.ndarray] = None  # (N, 3)
     C: Optional[jnp.ndarray] = None  # (N, 1)
@@ -167,12 +167,56 @@ def _device_normalize():
     return jax.jit(lambda u8: u8.astype(jnp.float32)[None] / 127.5 - 1.0)
 
 
+def uimg01(frame_or_arr) -> np.ndarray:
+    """Frame.uimg as float [0, 1] (uimg is stored uint8 — converting
+    ~7 MB/frame to float on the hot ingest path cost ~3 ms/frame of host
+    time; keyframe consumers convert lazily here)."""
+    u = frame_or_arr.uimg if hasattr(frame_or_arr, "uimg") else frame_or_arr
+    u = np.asarray(u)
+    return u.astype(np.float32) / 255.0 if u.dtype == np.uint8 else u
+
+
+class FramePrefetcher:
+    """1-deep lookahead frame source: dataset read + create_frame run on a
+    worker thread so host ingest overlaps device compute (the reference
+    runs its dataloader in a separate process, `main.py` 3-process
+    pipeline; here a thread suffices — the tracker's only host work is a
+    4-float sync)."""
+
+    def __init__(self, load_fn, n: int):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._ex = ThreadPoolExecutor(1)
+        self._load = load_fn
+        self._n = n
+        self._fut = self._ex.submit(load_fn, 0) if n > 0 else None
+
+    def get(self, i: int):
+        """Return item i (must be called with consecutive i from 0)."""
+        out = self._fut.result()
+        if i + 1 < self._n:
+            self._fut = self._ex.submit(self._load, i + 1)
+        return out
+
+    def close(self):
+        self._ex.shutdown(wait=False, cancel_futures=True)
+
+
 def create_frame(i, img, T_WC=None, img_size=512, downsample=1,
                  use_native=True) -> Frame:
     from splatt3r_slam_tpu.utils.image import resize_img
 
     out = None
-    if use_native and img_size != 224:
+    H0, W0 = img.shape[:2]
+    if (img_size != 224 and max(H0, W0) == img_size and H0 % 16 == 0
+            and W0 % 16 == 0 and H0 != W0):
+        # already at target geometry: resize/crop are identity — go
+        # straight to uint8 + device upload (camera/bench pipelines at
+        # native working resolution skip ~8 ms/frame of host resampling)
+        u8 = (img if img.dtype == np.uint8
+              else np.uint8(np.clip(img, 0, 1) * 255))
+        out = dict(unnormalized_img=u8, true_shape=np.int32([[H0, W0]]))
+    if out is None and use_native and img_size != 224:
         try:
             from splatt3r_slam_tpu import native
 
@@ -184,7 +228,7 @@ def create_frame(i, img, T_WC=None, img_size=512, downsample=1,
         out = resize_img(img, img_size)
     rgb = _device_normalize()(jnp.asarray(out["unnormalized_img"]))
     img_shape = out["true_shape"].copy()
-    uimg = out["unnormalized_img"].astype(np.float32) / 255.0
+    uimg = out["unnormalized_img"]  # uint8; consumers use uimg01()
     # Portrait frames run at their true orientation: the net is shape-
     # polymorphic and the reference's ManyAR patch embed computes portrait
     # tokens/RoPE at portrait orientation (verified checkpoint-parity in

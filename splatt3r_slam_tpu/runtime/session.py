@@ -14,6 +14,11 @@ import pathlib
 import jax.numpy as jnp
 import numpy as np
 
+
+def _uimg_u8(u):
+    u = np.asarray(u)
+    return u if u.dtype == np.uint8 else (np.clip(u, 0, 1) * 255).astype(np.uint8)
+
 from splatt3r_slam_tpu.runtime.frame import Frame, Mode
 
 
@@ -35,7 +40,7 @@ def save_session(path, system, backend=None):
         blobs[f"kf{i}_X"] = np.asarray(kf.X_canon)
         blobs[f"kf{i}_C"] = np.asarray(kf.C)
         blobs[f"kf{i}_N"] = np.asarray(kf.N)
-        blobs[f"kf{i}_uimg"] = (np.asarray(kf.uimg) * 255).astype(np.uint8)
+        blobs[f"kf{i}_uimg"] = _uimg_u8(kf.uimg)
         blobs[f"kf{i}_shape"] = np.asarray(kf.img_shape)
         if kf.feat is not None:
             blobs[f"kf{i}_feat"] = np.asarray(kf.feat, np.float32)
@@ -58,7 +63,7 @@ def load_session(path, system, backend=None):
     system.mode = Mode(int(z["mode"]))
     for i in range(n):
         shape = z[f"kf{i}_shape"]
-        uimg = z[f"kf{i}_uimg"].astype(np.float32) / 255.0
+        uimg = z[f"kf{i}_uimg"]  # uint8; consumers use uimg01()
         f = Frame(
             int(z[f"kf{i}_id"]),
             img=None,

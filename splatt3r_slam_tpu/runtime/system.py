@@ -25,6 +25,7 @@ from splatt3r_slam_tpu.config import config
 from splatt3r_slam_tpu.lie import sim3
 from splatt3r_slam_tpu.runtime.frame import (
     Frame,
+    FramePrefetcher,
     GaussianPool,
     KeyframeBuffer,
     Mode,
@@ -224,11 +225,16 @@ class SLAMSystem:
         n = len(dataset) if max_frames is None else min(len(dataset),
                                                         max_frames)
         downsample = config["dataset"]["img_downsample"]
+
+        def load(i):
+            _, img = dataset[i]
+            return create_frame(i, img, img_size=512, downsample=downsample)
+
+        prefetch = FramePrefetcher(load, n)
         t0 = time.time()
         fps = 0.0
         for i in range(n):
-            _, img = dataset[i]
-            frame = create_frame(i, img, img_size=512, downsample=downsample)
+            frame = prefetch.get(i)
             if config.get("use_calib") and self.keyframes.K is not None:
                 frame.K = self.keyframes.K
             self.process_frame(frame)

@@ -23,6 +23,7 @@ import pathlib
 import numpy as np
 
 from splatt3r_slam_tpu.lie import sim3
+from splatt3r_slam_tpu.runtime.frame import uimg01
 from splatt3r_slam_tpu.utils.queues import new_queue, try_get_msg
 
 
@@ -194,7 +195,7 @@ class Viewer:
             X = np.asarray(kf.X_canon).reshape(-1, 3)[::7]
             T = np.asarray(sim3.matrix(kf.T_WC))
             pts_all.append(X @ T[:3, :3].T + T[:3, 3])
-            col_all.append(np.asarray(kf.uimg).reshape(-1, 3)[::7])
+            col_all.append(uimg01(kf).reshape(-1, 3)[::7])
         if not pts_all:
             return canvas
         pts = np.concatenate(pts_all)
@@ -234,7 +235,7 @@ class Viewer:
         kfs = self.system.keyframes
         thumbs = []
         for i in range(max(0, len(kfs) - 4), len(kfs)):
-            t = (np.asarray(kfs[i].uimg) * 255).astype(np.uint8)
+            t = (uimg01(kfs[i]) * 255).astype(np.uint8)
             t = cv2.resize(t, (self.w // 4, self.h // 4))
             thumbs.append(t)
         if thumbs:
