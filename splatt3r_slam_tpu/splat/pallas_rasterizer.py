@@ -33,10 +33,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from splatt3r_slam_tpu.splat.rasterizer import TILE, project_gaussians
+from splatt3r_slam_tpu.splat.rasterizer import (
+    TILE,
+    _searchsorted_bin,
+    project_gaussians,
+)
 
 CHUNK = 128  # gaussians per DMA chunk (= lane tiling)
 ROWF = 16  # padded attribute count (sublane-friendly)
@@ -172,55 +177,56 @@ def render_tiles_pallas(
         means, cov_triu, opa, view, K, hw
     )
     colors = jnp.asarray(colors, jnp.float32)
-    opa = jnp.asarray(opa, jnp.float32)
-    order = jnp.argsort(jnp.where(ok, depth, jnp.inf))
-    means2d = means2d[order]
-    conic = conic[order]
-    colors_s = colors[order]
-    opa_s = jnp.where(ok[order], opa[order], 0.0)
-    radius_s = radius[order]
-    ok_s = ok[order]
+    opa = jnp.where(ok, jnp.asarray(opa, jnp.float32), 0.0)
 
-    tx0 = jnp.clip(((means2d[:, 0] - radius_s) // TILE).astype(jnp.int32),
-                   0, TX - 1)
-    tx1 = jnp.clip(((means2d[:, 0] + radius_s) // TILE).astype(jnp.int32),
-                   0, TX - 1)
-    ty0 = jnp.clip(((means2d[:, 1] - radius_s) // TILE).astype(jnp.int32),
-                   0, TY - 1)
-    ty1 = jnp.clip(((means2d[:, 1] + radius_s) // TILE).astype(jnp.int32),
-                   0, TY - 1)
+    # combined (tile | depth) keys + ONE payload sort (see rasterizer.py)
+    DBITS = 18
+    dmax = jnp.max(jnp.where(ok, depth, 0.0))
+    dmin = jnp.min(jnp.where(ok, depth, jnp.inf))
+    dspan = jnp.maximum(dmax - dmin, 1e-9)
+    depth_q = jnp.clip(
+        ((depth - dmin) / dspan * ((1 << DBITS) - 1)).astype(jnp.int32),
+        0, (1 << DBITS) - 1,
+    )
+
+    u_, v_ = means2d[:, 0], means2d[:, 1]
+    tx0 = jnp.clip(((u_ - radius) // TILE).astype(jnp.int32), 0, TX - 1)
+    tx1 = jnp.clip(((u_ + radius) // TILE).astype(jnp.int32), 0, TX - 1)
+    ty0 = jnp.clip(((v_ - radius) // TILE).astype(jnp.int32), 0, TY - 1)
+    ty1 = jnp.clip(((v_ + radius) // TILE).astype(jnp.int32), 0, TY - 1)
     dxy = jnp.stack(
         jnp.meshgrid(jnp.arange(tpg_side), jnp.arange(tpg_side),
                      indexing="xy"), axis=-1,
     ).reshape(-1, 2)
     tx = tx0[:, None] + dxy[None, :, 0]
     ty = ty0[:, None] + dxy[None, :, 1]
-    key_ok = (tx <= tx1[:, None]) & (ty <= ty1[:, None]) & ok_s[:, None]
+    key_ok = (tx <= tx1[:, None]) & (ty <= ty1[:, None]) & ok[:, None]
     tile_id = jnp.where(key_ok, ty * TX + tx, T)
+    key = (tile_id << DBITS) | depth_q[:, None]
 
-    flat_tile = tile_id.reshape(-1)
+    flat_key = key.reshape(-1)
     flat_g = jnp.broadcast_to(
-        jnp.arange(G, dtype=jnp.int32)[:, None], tile_id.shape
+        jnp.arange(G, dtype=jnp.int32)[:, None], key.shape
     ).reshape(-1)
-    sidx = jnp.argsort(flat_tile, stable=True)
-    sorted_tile = flat_tile[sidx]
-    sorted_g = flat_g[sidx]
+    sorted_key, sorted_g = jax.lax.sort((flat_key, flat_g), num_keys=1)
 
-    seg_starts = jnp.searchsorted(sorted_tile, jnp.arange(T)).astype(
-        jnp.int32
+    P0 = sorted_key.shape[0]
+    n_it = max(1, int(np.ceil(np.log2(P0 + 1))))
+    bounds = _searchsorted_bin(
+        sorted_key, (jnp.arange(T + 1, dtype=jnp.int32) << DBITS), n_it
     )
-    seg_ends = jnp.searchsorted(
-        sorted_tile, jnp.arange(T), side="right"
-    ).astype(jnp.int32)
+    seg_starts, seg_ends = bounds[:T], bounds[1:]
     counts = seg_ends - seg_starts
 
     P = sorted_g.shape[0]
     P_pad = P + 2 * CHUNK  # tail overhang for floor-aligned DMA
 
     packed = jnp.concatenate(
-        [means2d, conic, opa_s[:, None], colors_s], axis=-1
-    )  # (G, 9)
-    attrs = packed[sorted_g]  # (P, 9) — pure gather; no scatter
+        [means2d, conic, opa[:, None], colors], axis=-1
+    )  # (G, 9) original order
+    attrs = packed[sorted_g]  # (P, 9) — the kernel DMAs physically
+    # contiguous segments, so the (tile, depth)-ordered reorder gather is
+    # unavoidable here (the XLA path's gidx gather subsumes it there)
     rows = jnp.zeros((ROWF, P_pad), jnp.float32)
     rows = rows.at[:9, :P].set(attrs.T)  # static pad, not a scatter
 
