@@ -43,19 +43,30 @@ _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
-def random_params(seed: int = 0) -> dict:
-    """Shape-faithful random parameter tree (tests / dry runs)."""
+def random_params(seed: int = 0, channel_scale: int = 1) -> dict:
+    """Shape-faithful random parameter tree (tests / dry runs).
+
+    channel_scale > 1 divides every channel count (min 4) — the runtime
+    (`_vgg_features`/`lpips`) reads layer widths from the tree, so a
+    scaled-down net exercises the identical code path at a fraction of
+    the compile/compute cost."""
     rng = np.random.default_rng(seed)
+
+    def ch(c):
+        return max(4, c // channel_scale)
+
     params = {"convs": [], "lins": []}
     for s, block in enumerate(VGG_SLICES):
         convs = []
-        for _, cin, cout in block:
-            w = rng.standard_normal((3, 3, cin, cout)).astype(np.float32)
-            w *= np.sqrt(2.0 / (9 * cin))
-            b = np.zeros(cout, np.float32)
+        for i, (_, cin, cout) in enumerate(block):
+            cin_s = 3 if (s == 0 and i == 0) else ch(cin)
+            w = rng.standard_normal((3, 3, cin_s, ch(cout))).astype(
+                np.float32)
+            w *= np.sqrt(2.0 / (9 * cin_s))
+            b = np.zeros(ch(cout), np.float32)
             convs.append({"kernel": jnp.asarray(w), "bias": jnp.asarray(b)})
         params["convs"].append(convs)
-        lin = rng.uniform(0, 1, (LIN_CHANNELS[s],)).astype(np.float32)
+        lin = rng.uniform(0, 1, (ch(LIN_CHANNELS[s]),)).astype(np.float32)
         params["lins"].append(jnp.asarray(lin))
     return params
 

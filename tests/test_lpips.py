@@ -134,8 +134,9 @@ def test_trainer_reports_lpips():
 
     cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
     trainer = Trainer(cfg, TrainConfig(render_loss=True, lpips_weight=0.1),
-                      n_devices=1, lpips_params=random_params())
-    h, w = 32, 32
+                      n_devices=1,
+                      lpips_params=random_params(channel_scale=8))
+    h, w = 16, 16  # minimal: one rasterizer tile; VGG pools to 1px
     params, _, _ = trainer.init_state(h, w)
     rng = np.random.default_rng(0)
     eye = np.eye(4, dtype=np.float32)[None]
@@ -150,7 +151,9 @@ def test_trainer_reports_lpips():
         "target_img": jnp.asarray(rng.uniform(0, 1, (1, 1, h, w, 3)),
                                   jnp.float32),
     }
-    loss, metrics = trainer.loss_fn(params, batch)
+    import jax
+
+    loss, metrics = jax.jit(trainer.loss_fn)(params, batch)
     assert np.isfinite(float(metrics["lpips"]))
     assert np.isfinite(float(loss))
 

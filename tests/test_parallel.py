@@ -10,6 +10,8 @@ from splatt3r_slam_tpu.parallel import TrainConfig, Trainer
 from splatt3r_slam_tpu.parallel.mesh import batch_sharding, make_mesh
 
 
+@pytest.mark.slow  # the driver's dryrun_multichip exercises this same
+# sharded train step every round; keep the CI line under 5 min
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_train_step_dp_fsdp():
     mesh = make_mesh(8, fsdp=2)

@@ -5,6 +5,7 @@ is proven in tests/test_reference_parity.py::test_portrait_forward_parity.)
 """
 
 import numpy as np
+import pytest
 
 from splatt3r_slam_tpu.runtime.frame import create_frame
 
@@ -27,6 +28,7 @@ def test_create_frame_landscape(rng):
     assert f.img.shape[2] >= f.img.shape[1]
 
 
+@pytest.mark.slow
 def test_portrait_pipeline(rng, tmp_path):
     """Portrait frames through the SLAM loop + keyframe PNG export."""
     import pathlib
