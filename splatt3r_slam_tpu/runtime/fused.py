@@ -75,10 +75,11 @@ class MatchingParams(NamedTuple):
 
 
 def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
-                          mcfg: MatchingParams, head_mode: str = "tracking"):
+                          mcfg: MatchingParams, head_mode: str = "tracking",
+                          use_calib: bool = False):
     """Build the jitted fused step.
 
-    step(params, img, kf: KFState, T_WCf_init, idx_init) →
+    step(params, img, kf: KFState, T_WCf_init, idx_init, K=None) →
         (outputs dict, flags (4,) [match_frac, new_kf, fail, match_frac_k])
 
     head_mode="tracking" (default) skips the gaussian DPTs — the per-frame
@@ -86,7 +87,19 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
     materialized lazily from the returned hook tokens on keyframe/render
     events (InferenceEngine.materialize_gaussians). head_mode="full"
     restores the reference's always-on behavior.
+
+    use_calib=True switches the pose solve to the calibrated
+    pixel+log-depth GN (reference tracker.py:216-266): points snapped to
+    their pixel rays, keyframe measurements [u, v, log z]; pass the pixel
+    intrinsics K. The matching subgrid's true pixel coordinates
+    (stride·grid) keep K consistent at any match_stride.
     """
+
+    from splatt3r_slam_tpu.geometry.projective import (
+        backproject,
+        get_pixel_coords,
+    )
+    from splatt3r_slam_tpu.tracking.tracker import opt_pose_calib_sim3
 
     n = h * w
     s = max(1, int(mcfg.match_stride))
@@ -104,7 +117,7 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
         return a.reshape(h, w, -1)[::s, ::s].reshape(ns, -1)
 
     @jax.jit
-    def step(params, img, kf: KFState, T_WCf_init, idx_init):
+    def step(params, img, kf: KFState, T_WCf_init, idx_init, K=None):
         feat, pos = model.apply({"params": params}, img,
                                 method=model.encode)
         d1, d2 = model.apply({"params": params}, feat, pos, kf.feat, kf.pos,
@@ -160,9 +173,27 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
         n_unique = hits.sum() - (~valid_match[0, 0] & hits[0])
         unique_frac = n_unique / ns
 
-        T_WCf, T_CkCf, fail = opt_pose_ray_dist_sim3(
-            Xff_s[idx], Xk_s, T_WCf_init, kf.T_WC, Qk, valid_opt, tcfg
-        )
+        if use_calib:
+            # subgrid pixels at their TRUE image coordinates (stride·grid)
+            uv_sub = (get_pixel_coords(1, (hs, ws)).reshape(ns, 2)
+                      * float(s))
+            Xf_ray = backproject(uv_sub, Xff_s[..., 2:3], K)
+            Xk_ray = backproject(uv_sub, Xk_s[..., 2:3], K)
+            zk = Xk_ray[..., 2:3]
+            valid_meas = zk > tcfg.depth_eps
+            logz = jnp.where(valid_meas,
+                             jnp.log(jnp.maximum(zk, 1e-12)), 0.0)
+            meas_k = jnp.where(
+                valid_meas,
+                jnp.concatenate([uv_sub, logz], axis=-1), 0.0)
+            T_WCf, T_CkCf, fail = opt_pose_calib_sim3(
+                Xf_ray[idx], Xk_ray, T_WCf_init, kf.T_WC, Qk, valid_opt,
+                meas_k, valid_meas, K, (h, w), tcfg,
+            )
+        else:
+            T_WCf, T_CkCf, fail = opt_pose_ray_dist_sim3(
+                Xff_s[idx], Xk_s, T_WCf_init, kf.T_WC, Qk, valid_opt, tcfg
+            )
 
         low_overlap = match_frac < tcfg.min_match_frac
         try_reloc = low_overlap | fail
@@ -223,8 +254,10 @@ class FusedTracker:
         self.keyframes = keyframes
         self.tcfg = TrackingConfig.from_config(config)
         self.mcfg = MatchingParams.from_config(config)
+        self.use_calib = bool(config.get("use_calib", False))
         self.step = make_fused_track_step(
-            engine.model, engine.h, engine.w, self.tcfg, self.mcfg
+            engine.model, engine.h, engine.w, self.tcfg, self.mcfg,
+            use_calib=self.use_calib,
         )
         self.idx_f2k = None
         self._kf_state = None
@@ -251,9 +284,10 @@ class FusedTracker:
 
         n = self.engine.h * self.engine.w
         idx_init = self.idx_f2k
+        K = (self.keyframes.K if self.use_calib else None)
         out, flags = self.step(
             self.engine.params, frame.img, self._kf_state, frame.T_WC,
-            idx_init,
+            idx_init, K,
         )
         flags = np.asarray(flags)  # the single host sync
         match_frac, new_kf, fail, try_reloc = flags

@@ -82,11 +82,10 @@ class SLAMSystem:
         self.keyframes = KeyframeBuffer(h, w)
         if K is not None:
             self.keyframes.set_intrinsics(K)
-        # fused single-dispatch frontend (uncalibrated, weighted fusion);
-        # the modular tracker covers the calibrated / alternate-fusion paths
+        # fused single-dispatch frontend (weighted fusion, calibrated or
+        # not); the modular tracker covers the alternate fusion modes
         use_fused = (
             fused
-            and not config.get("use_calib", False)
             and config["tracking"]["filtering_mode"] == "weighted_pointmap"
         )
         if use_fused:

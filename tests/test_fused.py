@@ -95,3 +95,31 @@ def test_fused_match_stride_2_runs(setup):
         assert len(sysm.keyframes) >= 1
     finally:
         cfgmod.config["matching"]["match_stride"] = old
+
+
+def test_fused_matches_modular_calibrated(setup):
+    """Calibrated pose solve (pixel+log-depth GN) in the fused step must
+    match the modular tracker (reference tracker.py:216-266 semantics)."""
+    engine, h, w = setup
+    imgs = _frames(h, w)
+    K = jnp.asarray(
+        np.array([[60.0, 0, w / 2], [0, 60.0, h / 2], [0, 0, 1]],
+                 np.float32))
+    cfgmod.config["use_calib"] = True
+    try:
+        def run(fused):
+            sysm = SLAMSystem(engine, h, w, K=K, fused=fused)
+            poses = []
+            for i, img in enumerate(imgs):
+                f = create_frame(i, img, img_size=w)
+                f.K = K
+                sysm.process_frame(f)
+                poses.append(np.asarray(f.T_WC))
+            return np.stack(poses), len(sysm.keyframes)
+
+        p_mod, k_mod = run(False)
+        p_fus, k_fus = run(True)
+        assert k_mod == k_fus
+        np.testing.assert_allclose(p_fus, p_mod, atol=2e-4)
+    finally:
+        cfgmod.config["use_calib"] = False
