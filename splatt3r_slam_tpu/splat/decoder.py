@@ -55,6 +55,32 @@ def get_projection_matrix(near, far, fov_x, fov_y):
     return jnp.stack([jnp.stack(r, -1) for r in rows], -2)
 
 
+def render_depth(means, cov_triu, opa, view, K, hw, mode: str = "depth",
+                 near: float = 0.1, far: float = 100.0, k_max=512,
+                 tpg_side=4):
+    """Depth rendering via depth-as-color compositing
+    (spec: `cuda_splatting.py:227-269` render_depth_cuda; modes depth /
+    disparity / relative_disparity / log). Returns (H, W) float."""
+    means = jnp.asarray(means, jnp.float32)
+    view = jnp.asarray(view, jnp.float32)
+    z = means @ view[2, :3] + view[2, 3]  # camera-space depth per gaussian
+    if mode == "disparity":
+        fake = 1.0 / jnp.maximum(z, 1e-9)
+    elif mode == "relative_disparity":
+        # depth_to_relative_disparity: 0 at near, 1 at far (in disparity)
+        disp = 1.0 / jnp.maximum(z, 1e-9)
+        dnear, dfar = 1.0 / near, 1.0 / far
+        fake = 1.0 - (disp - dfar) / (dnear - dfar)
+    elif mode == "log":
+        fake = jnp.log(jnp.clip(z, near, far))
+    else:
+        fake = z
+    colors = jnp.broadcast_to(fake[:, None], (means.shape[0], 3))
+    img = render_tiles(means, cov_triu, colors, opa, view, K, hw,
+                       jnp.zeros(3), tpg_side=tpg_side, k_max=k_max)
+    return img[..., 0]
+
+
 class DecoderSplatting:
     """pixelsplat-style batch renderer over the TPU rasterizer."""
 

@@ -91,3 +91,29 @@ def test_render_frame_facade(rng):
     out = render_frame(f, f, k_max=128)
     assert out.shape == (h, w, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_render_depth_modes():
+    """render_depth (cuda_splatting.py:227-269 parity): one opaque
+    gaussian at z=2 renders ~2 at its center pixel; modes transform it."""
+    import jax.numpy as jnp
+
+    from splatt3r_slam_tpu.splat.decoder import render_depth
+
+    hw = (32, 32)
+    K = jnp.asarray([[32.0, 0, 16], [0, 32.0, 16], [0, 0, 1]])
+    view = jnp.eye(4)
+    means = jnp.asarray([[0.0, 0.0, 2.0]])
+    cov = jnp.asarray([[0.04, 0, 0, 0.04, 0, 0.04]])
+    opa = jnp.asarray([1.0])
+
+    d = render_depth(means, cov, opa, view, K, hw)
+    assert abs(float(d[16, 16]) - 2.0) < 0.05
+    disp = render_depth(means, cov, opa, view, K, hw, mode="disparity")
+    assert abs(float(disp[16, 16]) - 0.5) < 0.02
+    logd = render_depth(means, cov, opa, view, K, hw, mode="log")
+    assert abs(float(logd[16, 16]) - float(jnp.log(2.0))) < 0.03
+    rel = render_depth(means, cov, opa, view, K, hw,
+                       mode="relative_disparity", near=1.0, far=4.0)
+    # disparity 0.5 between near-disp 1.0 and far-disp 0.25 → 2/3
+    assert abs(float(rel[16, 16]) - 2.0 / 3.0) < 0.03
