@@ -41,12 +41,15 @@ class FactorGraph:
 
         self.ii: list[int] = []
         self.jj: list[int] = []
-        self.idx_ii2jj: list[np.ndarray] = []
-        self.idx_jj2ii: list[np.ndarray] = []
-        self.valid_match_j: list[np.ndarray] = []
-        self.valid_match_i: list[np.ndarray] = []
-        self.Q_ii2jj: list[np.ndarray] = []
-        self.Q_jj2ii: list[np.ndarray] = []
+        # per-edge (N,) arrays stay DEVICE-resident: re-uploading the
+        # (E, N) index/valid/Q matrices for every solve cost ~5 s per
+        # keyframe over a remote-TPU link (~20 MB each way)
+        self.idx_ii2jj: list = []
+        self.idx_jj2ii: list = []
+        self.valid_match_j: list = []
+        self.valid_match_i: list = []
+        self.Q_ii2jj: list = []
+        self.Q_jj2ii: list = []
 
     # ------------------------------------------------------------------
     def add_factors(self, ii, jj, min_match_frac, is_reloc=False) -> bool:
@@ -91,12 +94,12 @@ class FactorGraph:
         for k in np.nonzero(keep)[0]:
             self.ii.append(int(ii_np[k]))
             self.jj.append(int(jj_np[k]))
-            self.idx_ii2jj.append(np.asarray(idx_i2j[k]))
-            self.idx_jj2ii.append(np.asarray(idx_j2i[k]))
-            self.valid_match_j.append(np.asarray(valid_j[k, :, 0]))
-            self.valid_match_i.append(np.asarray(valid_i[k, :, 0]))
-            self.Q_ii2jj.append(np.asarray(Qj[k, :, 0]))
-            self.Q_jj2ii.append(np.asarray(Qi[k, :, 0]))
+            self.idx_ii2jj.append(jnp.asarray(idx_i2j[k]))
+            self.idx_jj2ii.append(jnp.asarray(idx_j2i[k]))
+            self.valid_match_j.append(jnp.asarray(valid_j[k, :, 0]))
+            self.valid_match_i.append(jnp.asarray(valid_i[k, :, 0]))
+            self.Q_ii2jj.append(jnp.asarray(Qj[k, :, 0]))
+            self.Q_jj2ii.append(jnp.asarray(Qi[k, :, 0]))
             added = True
         return added
 
@@ -105,30 +108,47 @@ class FactorGraph:
         return np.unique(np.concatenate([self.ii, self.jj])) if self.ii else \
             np.asarray([], np.int64)
 
-    def _prep_two_way(self, unique_kf):
-        """Two-way edges with local (rank) indices + bucket padding."""
+    def _staged_inputs(self, unique_kf):
+        """Host-side staging for the jitted GN: per-keyframe and per-edge
+        arrays as bucket-padded TUPLES (stacking happens inside the jit —
+        each eager stack/pad/divide op costs ~2-3 s of one-off compile on
+        a remote-TPU platform). Keyframe padding repeats entry 0 (poses
+        beyond m get identity diagonal in _assemble_dense and are
+        discarded); edge padding is masked by `edge_on`."""
+        fr = [self.frames[int(i)] for i in unique_kf]
+        m = len(fr)
+        m_pad = _bucket(m)
+        Twc_t = tuple(f.T_WC for f in fr) + (fr[0].T_WC,) * (m_pad - m)
+        Xs_t = tuple(f.X_canon for f in fr) + (fr[0].X_canon,) * (m_pad - m)
+        Cs_t = tuple(f.C for f in fr) + (fr[0].C,) * (m_pad - m)
+        Ns = np.asarray([max(f.N, 1) for f in fr] + [1] * (m_pad - m),
+                        np.float32)
+
         rank = {int(k): r for r, k in enumerate(unique_kf)}
         ii = np.asarray([rank[i] for i in self.ii] +
                         [rank[j] for j in self.jj], np.int32)
         jj = np.asarray([rank[j] for j in self.jj] +
                         [rank[i] for i in self.ii], np.int32)
-        idx = np.stack(self.idx_ii2jj + self.idx_jj2ii)
-        valid = np.stack(self.valid_match_j + self.valid_match_i)
-        Q = np.stack(self.Q_ii2jj + self.Q_jj2ii)
-
         E = len(ii)
         Epad = _bucket(E)
         on = np.zeros((Epad,), np.float32)
         on[:E] = 1.0
 
-        def pad(a, fill=0):
-            out = np.full((Epad,) + a.shape[1:], fill, a.dtype)
+        def padh(a):
+            out = np.zeros((Epad,), a.dtype)
             out[:E] = a
             return out
 
-        return (jnp.asarray(pad(ii)), jnp.asarray(pad(jj)),
-                jnp.asarray(pad(idx)), jnp.asarray(pad(valid)),
-                jnp.asarray(pad(Q.astype(np.float32))), jnp.asarray(on))
+        def padt(lst):
+            t = tuple(lst)
+            return t + (t[0],) * (Epad - E)
+
+        idx_t = padt(self.idx_ii2jj + self.idx_jj2ii)
+        valid_t = padt(self.valid_match_j + self.valid_match_i)
+        Q_t = padt(self.Q_ii2jj + self.Q_jj2ii)
+        return (m, Twc_t, Xs_t, Cs_t, Ns, jnp.asarray(padh(ii)),
+                jnp.asarray(padh(jj)), idx_t, valid_t, Q_t,
+                jnp.asarray(on))
 
     def solve_GN_rays(self):
         """(spec: global_opt.py:121-158)"""
@@ -136,11 +156,11 @@ class FactorGraph:
         unique_kf = self.get_unique_kf_idx()
         if len(unique_kf) <= pin:
             return
-        Twc, Xs, Cs = self.frames.stacked(unique_kf)
-        ii, jj, idx, valid, Q, on = self._prep_two_way(unique_kf)
+        (m, Twc_t, Xs_t, Cs_t, Ns, ii, jj, idx_t, valid_t, Q_t,
+         on) = self._staged_inputs(unique_kf)
 
-        Twc_new = pose_graph.gauss_newton_rays(
-            Twc, Xs, Cs, ii, jj, idx, valid, Q, on,
+        Twc_new = pose_graph.gauss_newton_rays_staged(
+            Twc_t, Xs_t, Cs_t, Ns, ii, jj, idx_t, valid_t, Q_t, on,
             num_fix=pin,
             max_iter=int(self.cfg["max_iters"]),
             sigma_ray=float(self.cfg["sigma_ray"]),
@@ -148,28 +168,26 @@ class FactorGraph:
             C_thresh=float(self.cfg["C_conf"]),
             Q_thresh=float(self.cfg["Q_conf"]),
             delta_thresh=float(self.cfg["delta_norm"]),
+            pix_stride=int(self.cfg.get("gn_stride", 1)),
         )
-        self.frames.update_T_WCs(Twc_new[pin:], unique_kf[pin:])
+        self.frames.update_T_WCs(Twc_new[pin:len(unique_kf)],
+                                 unique_kf[pin:])
 
     def solve_GN_calib(self):
         """(spec: global_opt.py:160-213)"""
-        from splatt3r_slam_tpu.geometry.projective import (
-            constrain_points_to_ray,
-        )
-
         pin = int(self.cfg["pin"])
         unique_kf = self.get_unique_kf_idx()
         if len(unique_kf) <= pin:
             return
-        Twc, Xs, Cs = self.frames.stacked(unique_kf)
         img_size = tuple(
             int(v) for v in np.asarray(self.frames[0].img_shape).reshape(-1)[:2]
         )
-        Xs = constrain_points_to_ray(img_size, Xs, self.K)
-        ii, jj, idx, valid, Q, on = self._prep_two_way(unique_kf)
+        (m, Twc_t, Xs_t, Cs_t, Ns, ii, jj, idx_t, valid_t, Q_t,
+         on) = self._staged_inputs(unique_kf)
 
-        Twc_new = pose_graph.gauss_newton_calib(
-            Twc, Xs, Cs, self.K, ii, jj, idx, valid, Q, on, img_size,
+        Twc_new = pose_graph.gauss_newton_calib_staged(
+            Twc_t, Xs_t, Cs_t, Ns, self.K, ii, jj, idx_t, valid_t, Q_t,
+            on, img_size,
             num_fix=pin,
             max_iter=int(self.cfg["max_iters"]),
             pixel_border=float(self.cfg["pixel_border"]),
@@ -179,8 +197,10 @@ class FactorGraph:
             C_thresh=float(self.cfg["C_conf"]),
             Q_thresh=float(self.cfg["Q_conf"]),
             delta_thresh=float(self.cfg["delta_norm"]),
+            pix_stride=int(self.cfg.get("gn_stride", 1)),
         )
-        self.frames.update_T_WCs(Twc_new[pin:], unique_kf[pin:])
+        self.frames.update_T_WCs(Twc_new[pin:len(unique_kf)],
+                                 unique_kf[pin:])
 
     def solve(self):
         if config.get("use_calib") and self.K is not None:

@@ -206,20 +206,31 @@ def _gn_iterations(edge_fn, Twc, ii, jj, edge_on, num_fix, max_iter,
     return Twc
 
 
-def _gather_edge_points(Xs, Cs, ii, jj, idx_ii2jj, valid_match):
-    """Per-edge gathered tensors: Xi (E,N,3), Xj, Ci, Cj."""
-    ind = jnp.where(valid_match, idx_ii2jj, 0)
+def _gather_edge_points(Xs, Cs, ii, jj, idx_ii2jj, valid_match,
+                        pix_stride: int = 1):
+    """Per-edge gathered tensors: Xi (E,Ns,3), Xj, Ci, Cj.
+
+    pix_stride > 1 subsamples the pixel axis: every edge keeps N/stride
+    residual rows (index values still address full-resolution view-i
+    pixels, so only the j-aligned arrays are sliced). The reference's
+    CUDA backend reduces all N pixels per edge; at N=196k a stride of 4
+    keeps ~49k rows per edge — far beyond what the 7-dof-per-pose system
+    needs — and cuts the per-keyframe global-opt cost proportionally."""
+    s = pix_stride
+    idx_s = idx_ii2jj[:, ::s]
+    val_s = valid_match[:, ::s]
+    ind = jnp.where(val_s, idx_s, 0)
     Xi = jax.vmap(lambda i, ix: Xs[i][ix])(ii, ind)
     Ci = jax.vmap(lambda i, ix: Cs[i][ix])(ii, ind)
-    Xj = Xs[jj]
-    Cj = Cs[jj]
+    Xj = Xs[jj][:, ::s]
+    Cj = Cs[jj][:, ::s]
     return Xi, Xj, Ci, Cj
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_fix", "max_iter", "sigma_ray", "sigma_dist",
-                     "C_thresh", "Q_thresh", "delta_thresh"),
+                     "C_thresh", "Q_thresh", "delta_thresh", "pix_stride"),
 )
 def gauss_newton_rays(
     Twc,  # (m, 8)
@@ -238,13 +249,16 @@ def gauss_newton_rays(
     C_thresh: float = 0.0,
     Q_thresh: float = 1.5,
     delta_thresh: float = 1e-8,
+    pix_stride: int = 1,
 ):
     """Ray+dist pose-graph GN (spec: gn_kernels.cu:1139-1227)."""
     Twc = jnp.asarray(Twc, jnp.float32)
 
     def edge_fn(T):
         Xi, Xj, Ci, Cj = _gather_edge_points(Xs, Cs, ii, jj, idx_ii2jj,
-                                             valid_match)
+                                             valid_match, pix_stride)
+        Q_s = Q[:, ::pix_stride]
+        v_s = valid_match[:, ::pix_stride]
         T_i = T[ii]
         T_ij = jax.vmap(sim3.rel)(T_i, T[jj])
 
@@ -256,7 +270,7 @@ def gauss_newton_rays(
             )
             return _edge_system(J2, w, err)
 
-        return lax.map(one, (T_ij, T_i, Xi, Xj, Ci, Cj, Q, valid_match))
+        return lax.map(one, (T_ij, T_i, Xi, Xj, Ci, Cj, Q_s, v_s))
 
     return _gn_iterations(edge_fn, Twc, ii, jj, edge_on, num_fix, max_iter,
                           delta_thresh)
@@ -266,7 +280,7 @@ def gauss_newton_rays(
     jax.jit,
     static_argnames=("img_size", "num_fix", "max_iter", "pixel_border",
                      "z_eps", "sigma_pixel", "sigma_depth", "C_thresh",
-                     "Q_thresh", "delta_thresh"),
+                     "Q_thresh", "delta_thresh", "pix_stride"),
 )
 def gauss_newton_calib(
     Twc, Xs, Cs, K, ii, jj, idx_ii2jj, valid_match, Q, edge_on,
@@ -280,13 +294,16 @@ def gauss_newton_calib(
     C_thresh: float = 0.0,
     Q_thresh: float = 1.5,
     delta_thresh: float = 1e-8,
+    pix_stride: int = 1,
 ):
     """Calibrated pixel+log-depth pose-graph GN (gn_kernels.cu:1230-1636)."""
     Twc = jnp.asarray(Twc, jnp.float32)
 
     def edge_fn(T):
         Xi, Xj, Ci, Cj = _gather_edge_points(Xs, Cs, ii, jj, idx_ii2jj,
-                                             valid_match)
+                                             valid_match, pix_stride)
+        Q_s = Q[:, ::pix_stride]
+        v_s = valid_match[:, ::pix_stride]
         T_i = T[ii]
         T_ij = jax.vmap(sim3.rel)(T_i, T[jj])
 
@@ -299,7 +316,7 @@ def gauss_newton_calib(
             )
             return _edge_system(J2, w, err)
 
-        return lax.map(one, (T_ij, T_i, Xi, Xj, Ci, Cj, Q, valid_match))
+        return lax.map(one, (T_ij, T_i, Xi, Xj, Ci, Cj, Q_s, v_s))
 
     return _gn_iterations(edge_fn, Twc, ii, jj, edge_on, num_fix, max_iter,
                           delta_thresh)
@@ -308,7 +325,7 @@ def gauss_newton_calib(
 @functools.partial(
     jax.jit,
     static_argnames=("num_fix", "max_iter", "sigma_point", "C_thresh",
-                     "Q_thresh", "delta_thresh"),
+                     "Q_thresh", "delta_thresh", "pix_stride"),
 )
 def gauss_newton_points(
     Twc, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q, edge_on,
@@ -318,13 +335,16 @@ def gauss_newton_points(
     C_thresh: float = 0.0,
     Q_thresh: float = 1.5,
     delta_thresh: float = 1e-8,
+    pix_stride: int = 1,
 ):
     """3D point-alignment pose-graph GN (gn_kernels.cu:454-810)."""
     Twc = jnp.asarray(Twc, jnp.float32)
 
     def edge_fn(T):
         Xi, Xj, Ci, Cj = _gather_edge_points(Xs, Cs, ii, jj, idx_ii2jj,
-                                             valid_match)
+                                             valid_match, pix_stride)
+        Q_s = Q[:, ::pix_stride]
+        v_s = valid_match[:, ::pix_stride]
         T_i = T[ii]
         T_ij = jax.vmap(sim3.rel)(T_i, T[jj])
 
@@ -336,7 +356,71 @@ def gauss_newton_points(
             )
             return _edge_system(J2, w, err)
 
-        return lax.map(one, (T_ij, T_i, Xi, Xj, Ci, Cj, Q, valid_match))
+        return lax.map(one, (T_ij, T_i, Xi, Xj, Ci, Cj, Q_s, v_s))
 
     return _gn_iterations(edge_fn, Twc, ii, jj, edge_on, num_fix, max_iter,
                           delta_thresh)
+
+
+# ---------------------------------------------------------------------------
+# Staged entry points: tuple-of-arrays in, stacking INSIDE the jit.
+#
+# On a remote-TPU platform every *eager* op (stack, pad, divide) compiles
+# and round-trips a one-off program (~2-3 s each measured); staging the
+# keyframe/edge tensors inside the jitted program makes the whole solve one
+# dispatch. Tuple lengths are part of the pytree structure, so callers pad
+# the host lists to bucket sizes (padded entries repeat a real array and
+# are masked by `edge_on` / ignored via the identity-diagonal padding).
+# ---------------------------------------------------------------------------
+
+def _stack_conf(Cs_t, Ns):
+    Cs = jnp.stack(Cs_t)
+    return Cs / jnp.asarray(Ns, jnp.float32)[:, None, None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_fix", "max_iter", "sigma_ray", "sigma_dist",
+                     "C_thresh", "Q_thresh", "delta_thresh", "pix_stride"),
+)
+def gauss_newton_rays_staged(
+    Twc_t, Xs_t, Cs_t, Ns, ii, jj, idx_t, valid_t, Q_t, edge_on,
+    num_fix=1, max_iter=10, sigma_ray=0.003, sigma_dist=10.0,
+    C_thresh=0.0, Q_thresh=1.5, delta_thresh=1e-8, pix_stride=1,
+):
+    return gauss_newton_rays(
+        jnp.stack(Twc_t), jnp.stack(Xs_t), _stack_conf(Cs_t, Ns),
+        ii, jj, jnp.stack(idx_t), jnp.stack(valid_t),
+        jnp.stack(Q_t).astype(jnp.float32), edge_on,
+        num_fix=num_fix, max_iter=max_iter, sigma_ray=sigma_ray,
+        sigma_dist=sigma_dist, C_thresh=C_thresh, Q_thresh=Q_thresh,
+        delta_thresh=delta_thresh, pix_stride=pix_stride,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_size", "num_fix", "max_iter", "pixel_border",
+                     "z_eps", "sigma_pixel", "sigma_depth", "C_thresh",
+                     "Q_thresh", "delta_thresh", "pix_stride"),
+)
+def gauss_newton_calib_staged(
+    Twc_t, Xs_t, Cs_t, Ns, K, ii, jj, idx_t, valid_t, Q_t, edge_on,
+    img_size, num_fix=1, max_iter=10, pixel_border=-10.0, z_eps=1e-6,
+    sigma_pixel=1.0, sigma_depth=10.0, C_thresh=0.0, Q_thresh=1.5,
+    delta_thresh=1e-8, pix_stride=1,
+):
+    from splatt3r_slam_tpu.geometry.projective import (
+        constrain_points_to_ray,
+    )
+
+    Xs = constrain_points_to_ray(img_size, jnp.stack(Xs_t), K)
+    return gauss_newton_calib(
+        jnp.stack(Twc_t), Xs, _stack_conf(Cs_t, Ns), K,
+        ii, jj, jnp.stack(idx_t), jnp.stack(valid_t),
+        jnp.stack(Q_t).astype(jnp.float32), edge_on, img_size,
+        num_fix=num_fix, max_iter=max_iter, pixel_border=pixel_border,
+        z_eps=z_eps, sigma_pixel=sigma_pixel, sigma_depth=sigma_depth,
+        C_thresh=C_thresh, Q_thresh=Q_thresh, delta_thresh=delta_thresh,
+        pix_stride=pix_stride,
+    )

@@ -285,8 +285,11 @@ class KeyframeBuffer:
         return self.frames[-1] if self.frames else None
 
     def update_T_WCs(self, T_WCs: jnp.ndarray, idx) -> None:
+        # one fetch + per-row device_put: per-row eager slicing compiles a
+        # tiny program per keyframe on remote-TPU platforms (~seconds)
+        rows = np.asarray(T_WCs)
         for k, i in enumerate(np.atleast_1d(np.asarray(idx))):
-            self.frames[int(i)].T_WC = T_WCs[k]
+            self.frames[int(i)].T_WC = jnp.asarray(rows[k])
             self.is_dirty[int(i)] = True
 
     def get_dirty_idx(self):

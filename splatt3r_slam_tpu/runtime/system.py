@@ -225,9 +225,12 @@ class SLAMSystem:
                                                         max_frames)
         downsample = config["dataset"]["img_downsample"]
 
+        img_size = max(self.h, self.w)
+
         def load(i):
             _, img = dataset[i]
-            return create_frame(i, img, img_size=512, downsample=downsample)
+            return create_frame(i, img, img_size=img_size,
+                                downsample=downsample)
 
         prefetch = FramePrefetcher(load, n)
         t0 = time.time()
