@@ -156,6 +156,15 @@ class Frame:
     def get_average_conf(self):
         return self.C / self.N if self.C is not None else None
 
+    def release_transients(self):
+        """Drop per-frame prediction buffers once the gaussian pool has
+        absorbed them (gaussian_pred ~22 MB + hook tokens ~50 MB per
+        keyframe otherwise accumulate until HBM exhausts; the reference
+        likewise keeps only pointmaps on keyframes, frame.py:17-119)."""
+        self.gaussian_pred = None
+        self.gaussian_pred_cross = None
+        self.gauss_hooks = None
+
 
 @functools.lru_cache(maxsize=1)
 def _device_normalize():

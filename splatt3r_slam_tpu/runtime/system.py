@@ -187,6 +187,7 @@ class SLAMSystem:
             self.keyframes.append(frame)
             self._dispatch_backend(len(self.keyframes) - 1)
             self._append_gaussians(frame, len(self.keyframes) - 1)
+            frame.release_transients()  # keyframes keep pointmaps only
             self.mode = Mode.TRACKING
             return self.mode, True
 
@@ -202,6 +203,7 @@ class SLAMSystem:
             if new_kf:
                 self.keyframes.append(frame)
                 self._dispatch_backend(len(self.keyframes) - 1)
+                frame.release_transients()
             return self.mode, new_kf
 
         if self.mode == Mode.RELOC:
@@ -212,6 +214,7 @@ class SLAMSystem:
             if self.backend is not None:
                 success = self.backend.relocalize(frame)
             if success:
+                frame.release_transients()  # frame became a keyframe
                 self.mode = Mode.TRACKING
                 self.tracker.reset_idx_f2k()
             return self.mode, success
