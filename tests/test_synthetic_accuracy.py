@@ -298,3 +298,42 @@ def test_threaded_backend_surfaces_worker_errors():
         sysm._stop = True
     finally:
         cfgmod.config["single_thread"] = True
+
+
+def test_calib_gn_recovers_pose_from_exact_pairs():
+    """Calibrated pixel+log-depth GN (tracker.py:216-266 semantics) with
+    exact 3-D pairs + measurements recovers the pose to ~1e-3."""
+    from splatt3r_slam_tpu.tracking.tracker import opt_pose_calib_sim3
+
+    cfgmod.load_config("config/base.yaml")
+    tcfg = TrackingConfig.from_config(cfgmod.config)
+    K = jnp.asarray(
+        np.array([[FOCAL, 0, W / 2], [0, FOCAL, H / 2], [0, 0, 1]],
+                 np.float32))
+    yaw = 0.05
+    c, s = np.cos(yaw), np.sin(yaw)
+    Tf = np.eye(4)
+    Tf[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    Tf[:3, 3] = [0.5, 0.04, 0.06]
+    Tk = np.eye(4)
+    Xk = _gt_pointmap_cam(Tk, PLANE_N, PLANE_D)
+    _, ok, Xf_exact = _project_into(Tk, Tf, PLANE_N, PLANE_D)
+    # keyframe measurements: pixel grid + log depth of Xk
+    uv = _rays()[:, :2] * FOCAL + np.array([W / 2, H / 2]) \
+        - 0.0  # rays built at pixel centers -> u = x/z*f + cx
+    z = Xk[:, 2:3]
+    meas = np.concatenate([uv, np.log(np.maximum(z, 1e-12))], axis=-1)
+    Q = jnp.full((N, 1), 10.0)
+    T_WCf, _, fail = opt_pose_calib_sim3(
+        jnp.asarray(Xf_exact, jnp.float32), jnp.asarray(Xk, jnp.float32),
+        sim3.identity(), sim3.identity(), Q,
+        jnp.asarray(ok)[:, None],
+        jnp.asarray(meas, jnp.float32),
+        jnp.asarray(z > 1e-6), K, (H, W), tcfg,
+    )
+    assert not bool(fail)
+    T = np.asarray(sim3.matrix(T_WCf))
+    sc = np.cbrt(np.linalg.det(T[:3, :3]))
+    np.testing.assert_allclose(sc, 1.0, atol=2e-3)
+    np.testing.assert_allclose(T[:3, 3], Tf[:3, 3], atol=4e-3)
+    np.testing.assert_allclose(T[:3, :3] / sc, Tf[:3, :3], atol=2e-3)
