@@ -6,7 +6,7 @@ gaussian-head-only finetuning with optional full-head unfreeze, MSE(+LPIPS)
 render loss plus optional MASt3R confidence-weighted regression loss) —
 re-designed for TPU:
 
-- jit + NamedSharding over a (dp, fsdp) mesh instead of Lightning DDP;
+- jit + NamedSharding over a (dp, fsdp, tp) mesh instead of Lightning DDP;
   XLA inserts the grad all-reduce / param all-gather collectives on ICI.
 - losses: photometric MSE + SSIM on rendered views (when the renderer is
   enabled) and the ConfLoss/Regr3D-style confidence-weighted pointmap
@@ -101,12 +101,12 @@ class Trainer:
     """
 
     def __init__(self, model_cfg: TwoViewConfig, train_cfg: TrainConfig,
-                 mesh=None, n_devices=None, fsdp: int = 1,
+                 mesh=None, n_devices=None, fsdp: int = 1, tp: int = 1,
                  lpips_params=None):
         self.model_cfg = model_cfg
         self.cfg = train_cfg
         self.model = Splatt3RModel(model_cfg)
-        self.mesh = mesh if mesh is not None else make_mesh(n_devices, fsdp)
+        self.mesh = mesh if mesh is not None else make_mesh(n_devices, fsdp, tp)
         # LPIPS-VGG calibration tree (utils/lpips.py); pass
         # load_lpips_params(path) when real weights are on disk — the
         # reference trains with lpips.LPIPS('vgg') (main.py:86-88).

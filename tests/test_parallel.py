@@ -75,3 +75,58 @@ def test_gaussian_only_freezing():
     np.testing.assert_array_equal(
         np.asarray(params["head1"]["dpt"]["head_4"]["kernel"]), dpt_before
     )
+
+
+def test_tp_param_sharding_rules():
+    """Megatron split rules: qkv/fc1 column-parallel, proj/fc2
+    row-parallel, depth axis of scanned blocks untouched (no compile —
+    validates the PartitionSpecs only)."""
+    from jax.sharding import PartitionSpec as P
+
+    from splatt3r_slam_tpu.parallel.mesh import param_sharding
+
+    mesh = make_mesh(8, fsdp=2, tp=2)
+    cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
+    from splatt3r_slam_tpu.models import init_model
+
+    _, params = init_model(cfg, 32, 48)
+    shard = param_sharding(mesh, params)
+
+    qkv = shard["enc_blocks"]["block"]["attn"]["qkv"]["kernel"].spec
+    assert qkv[-1] == "tp", f"qkv should be column-parallel, got {qkv}"
+    proj = shard["enc_blocks"]["block"]["attn"]["proj"]["kernel"].spec
+    assert proj[-2] == "tp", f"proj should be row-parallel, got {proj}"
+    fc1 = shard["enc_blocks"]["block"]["mlp"]["fc1"]["kernel"].spec
+    assert fc1[-1] == "tp"
+    fc2 = shard["enc_blocks"]["block"]["mlp"]["fc2"]["kernel"].spec
+    assert fc2[-2] == "tp"
+    # a LayerNorm scale stays replicated
+    patch = shard["patch_embed"]["proj"]["kernel"].spec
+    assert "tp" not in tuple(patch)
+
+
+@pytest.mark.slow  # new compile of the tp-sharded step (~1 min on CPU)
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_train_step_dp_fsdp_tp():
+    """One step on the full (dp, fsdp, tp) mesh produces finite metrics
+    matching the replicated-weights semantics (GSPMD equivalence)."""
+    mesh = make_mesh(8, fsdp=2, tp=2)
+    cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
+    trainer = Trainer(cfg, TrainConfig(train_gaussian_heads_only=False),
+                      mesh=mesh)
+    h, w = 16, 32
+    params, opt_state, pshard = trainer.init_state(h, w)
+    step = trainer.make_train_step(pshard)
+    rng = np.random.default_rng(0)
+    B = 4
+    batch = {
+        "img1": jnp.asarray(rng.normal(size=(B, h, w, 3)), jnp.float32),
+        "img2": jnp.asarray(rng.normal(size=(B, h, w, 3)), jnp.float32),
+        "gt1_pts": jnp.asarray(rng.normal(size=(B, h, w, 3)), jnp.float32),
+        "gt2_pts": jnp.asarray(rng.normal(size=(B, h, w, 3)), jnp.float32),
+        "valid1": jnp.ones((B, h, w), bool),
+        "valid2": jnp.ones((B, h, w), bool),
+    }
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    params, opt_state, m = step(params, opt_state, batch)
+    assert np.isfinite(float(m["regr3d"]))
