@@ -301,6 +301,12 @@ class KeyframeBuffer:
             self.frames[int(i)].T_WC = jnp.asarray(rows[k])
             self.is_dirty[int(i)] = True
 
+    def release_older_transients(self):
+        """Release prediction buffers on all but the newest keyframe (the
+        current one may still be rendered / re-materialized this frame)."""
+        for f in self.frames[:-1]:
+            f.release_transients()
+
     def get_dirty_idx(self):
         idx = [i for i, d in enumerate(self.is_dirty) if d]
         for i in idx:

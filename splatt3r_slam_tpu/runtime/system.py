@@ -187,7 +187,8 @@ class SLAMSystem:
             self.keyframes.append(frame)
             self._dispatch_backend(len(self.keyframes) - 1)
             self._append_gaussians(frame, len(self.keyframes) - 1)
-            frame.release_transients()  # keyframes keep pointmaps only
+            # keyframes keep pointmaps only (newest stays renderable)
+            self.keyframes.release_older_transients()
             self.mode = Mode.TRACKING
             return self.mode, True
 
@@ -203,7 +204,7 @@ class SLAMSystem:
             if new_kf:
                 self.keyframes.append(frame)
                 self._dispatch_backend(len(self.keyframes) - 1)
-                frame.release_transients()
+                self.keyframes.release_older_transients()
             return self.mode, new_kf
 
         if self.mode == Mode.RELOC:
@@ -214,7 +215,7 @@ class SLAMSystem:
             if self.backend is not None:
                 success = self.backend.relocalize(frame)
             if success:
-                frame.release_transients()  # frame became a keyframe
+                self.keyframes.release_older_transients()
                 self.mode = Mode.TRACKING
                 self.tracker.reset_idx_f2k()
             return self.mode, success
