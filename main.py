@@ -229,43 +229,46 @@ def main(argv=None):
     prefetch = FramePrefetcher(load, n)
     timestamps = []
     t0 = time.time()
-    for i in range(n):
-        ts, frame = prefetch.get(i)
-        timestamps.append(ts)
-        if K is not None:
-            frame.K = K
-        system.process_frame(frame)
+    try:
+        for i in range(n):
+            ts, frame = prefetch.get(i)
+            timestamps.append(ts)
+            if K is not None:
+                frame.K = K
+            system.process_frame(frame)
 
-        if args.render_stride > 0 and i % args.render_stride == 0:
-            system.engine.ensure_gaussians(frame)
-        if args.render_stride > 0 and i % args.render_stride == 0 and \
-                frame.gaussian_pred is not None:
-            kf = system.keyframes.last_keyframe()
-            img_r = render_frame(frame, kf if kf is not None else frame, K=K)
-            if img_r is not None:
-                import cv2
+            if args.render_stride > 0 and i % args.render_stride == 0:
+                system.engine.ensure_gaussians(frame)
+            if args.render_stride > 0 and i % args.render_stride == 0 and \
+                    frame.gaussian_pred is not None:
+                kf = system.keyframes.last_keyframe()
+                img_r = render_frame(frame, kf if kf is not None else frame, K=K)
+                if img_r is not None:
+                    import cv2
 
-                out = (np.clip(np.asarray(img_r), 0, 1) * 255).astype(
-                    np.uint8
-                )
-                cv2.imwrite(str(render_dir / f"{i:06d}.png"),
-                            cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
+                    out = (np.clip(np.asarray(img_r), 0, 1) * 255).astype(
+                        np.uint8
+                    )
+                    cv2.imwrite(str(render_dir / f"{i:06d}.png"),
+                                cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
 
-        if viewer is not None and i % 10 == 0 and system.pool.n > 0:
-            state = viewer.update()
-            _apply_gui_state(system, args, state)
-            if state.is_terminated:
-                break
-            while state.is_paused and not state.next and \
-                    not state.is_terminated:
+            if viewer is not None and i % 10 == 0 and system.pool.n > 0:
                 state = viewer.update()
-            state.next = False
+                _apply_gui_state(system, args, state)
+                if state.is_terminated:
+                    break
+                while state.is_paused and not state.next and \
+                        not state.is_terminated:
+                    state = viewer.update()
+                state.next = False
 
-        if i % 30 == 29:
-            fps = (i + 1) / (time.time() - t0)
-            print(f"frame {i + 1}/{n}  FPS {fps:.2f}  mode {system.mode}  "
-                  f"keyframes {len(system.keyframes)}")
+            if i % 30 == 29:
+                fps = (i + 1) / (time.time() - t0)
+                print(f"frame {i + 1}/{n}  FPS {fps:.2f}  mode {system.mode}  "
+                      f"keyframes {len(system.keyframes)}")
 
+    finally:
+        prefetch.close()
     elapsed = time.time() - t0
     print(f"done: {n} frames in {elapsed:.1f}s "
           f"({n / max(elapsed, 1e-9):.2f} FPS), "

@@ -52,6 +52,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--cadence", type=int, default=0,
+                    help="realistic-cadence mode: force a keyframe every "
+                         "K frames and disable data-driven keyframing/"
+                         "reloc (random weights would otherwise keyframe "
+                         "or reloc every frame); measures the BASELINE "
+                         "full-loop config")
+    ap.add_argument("--threaded", action="store_true",
+                    help="single_thread: false (backend on worker thread)")
+    ap.add_argument("--retrieval", action="store_true",
+                    help="enable loop-closure retrieval in the backend")
+    ap.add_argument("--render-stride", type=int, default=0,
+                    help="render the current view every R frames")
     args = ap.parse_args()
 
     import jax
@@ -63,6 +75,12 @@ def main():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfgmod.load_config(os.path.join(root, "config", "base.yaml"))
+    if args.cadence:
+        # pin the keyframe cadence: no data-driven keyframes, no reloc
+        cfgmod.config["tracking"]["match_frac_thresh"] = -1.0
+        cfgmod.config["tracking"]["min_match_frac"] = 0.0
+    if args.threaded:
+        cfgmod.config["single_thread"] = False
 
     import jax.numpy as jnp
 
@@ -87,49 +105,99 @@ def main():
 
     model, params = load_model_params(_A(), cfg, h, w)
     engine = InferenceEngine(model, params, h, w)
-    system = SLAMSystem(engine, h, w)
-    system.backend = FactorGraph(engine, system.keyframes)
-    system.gaussian_module = GaussianAccumulator(spatial_stride=4)
+
+    def build_system():
+        sysm = SLAMSystem(engine, h, w)
+        retrieval = None
+        if args.retrieval:
+            from splatt3r_slam_tpu.retrieval import RetrievalDatabase
+
+            retrieval = RetrievalDatabase()
+        sysm.backend = FactorGraph(engine, sysm.keyframes,
+                                   retrieval=retrieval)
+        sysm.gaussian_module = GaussianAccumulator(spatial_stride=4)
+        return sysm
+
+    system = build_system()
 
     from splatt3r_slam_tpu.runtime.frame import Mode, create_frame
 
     n = args.frames
     ds = SyntheticDataset(n, h, w)
 
-    def drive(sysm, dataset):
-        """Frame loop that re-bootstraps instead of staying in RELOC:
-        random weights produce garbage geometry, so GN failures (→ RELOC,
-        reference-faithful) would otherwise dominate timing. Rebootstrap
-        (mono inference + fresh keyframe, the INIT path) keeps the
-        tracking + keyframe critical paths under measurement."""
+    from splatt3r_slam_tpu.runtime.frame import FramePrefetcher
+    from splatt3r_slam_tpu.splat.decoder import render_frame
+
+    def drive(sysm, dataset, collect=None):
+        """Frame loop. Default mode re-bootstraps instead of staying in
+        RELOC: random weights produce garbage geometry, so GN failures
+        (→ RELOC, reference-faithful) would otherwise dominate timing.
+        --cadence K instead forces a keyframe every K frames (reloc and
+        data-driven keyframing disabled via config above) — the
+        BASELINE measurement config: full loop with keyframing +
+        matching + global optimization at a realistic TUM-like rate."""
         import time
 
+        nloc = len(dataset)
+        prefetch = FramePrefetcher(
+            lambda k: create_frame(k, dataset[k][1], img_size=w), nloc)
         relocs = 0
         t0 = time.time()
-        for i in range(len(dataset)):
-            _, img = dataset[i]
-            frame = create_frame(i, img, img_size=w)
-            sysm.process_frame(frame)
-            if sysm.mode == Mode.RELOC:
-                relocs += 1
-                sysm.mode = Mode.INIT
-                sysm.process_frame(frame)
+        try:
+            for i in range(nloc):
+                frame = prefetch.get(i)
+                tf0 = time.time()
+                force = bool(args.cadence) and i > 0 and \
+                    i % args.cadence == 0
+                sysm.process_frame(frame, force_keyframe=force)
+                if sysm.mode == Mode.RELOC:
+                    relocs += 1
+                    if args.cadence:
+                        # random weights: GN 'fail' flips to RELOC and
+                        # skips the keyframe branch; stay in TRACKING and,
+                        # on forced-keyframe frames, run the event path
+                        # explicitly so its cost IS measured (mirrors the
+                        # new_kf branch of process_frame)
+                        sysm.mode = Mode.TRACKING
+                        if force:
+                            sysm.keyframes.append(frame)
+                            sysm._dispatch_backend(len(sysm.keyframes) - 1)
+                            sysm._append_gaussians(
+                                frame, len(sysm.keyframes) - 1)
+                            sysm.keyframes.release_older_transients()
+                    else:
+                        sysm.mode = Mode.INIT
+                        sysm.process_frame(frame)
+                if args.render_stride and i % args.render_stride == 0:
+                    sysm.engine.ensure_gaussians(frame)
+                    kf = sysm.keyframes.last_keyframe()
+                    img_r = render_frame(frame,
+                                         kf if kf is not None else frame)
+                    if img_r is not None:
+                        np.asarray(img_r.ravel()[:1])  # tunnel-safe sync
+                if collect is not None:
+                    collect.append((time.time() - tf0, force))
+        finally:
+            prefetch.close()
+        if not bool(cfgmod.config.get("single_thread", True)):
+            sysm._drain_backend()
+            sysm._stop = True
         dt = time.time() - t0
-        return len(dataset) / dt, relocs
+        return nloc / dt, relocs
 
     # warmup: pays all compiles; freed before the timed run (its gaussian
     # pool + keyframes would otherwise occupy HBM alongside the real run)
     import gc
 
-    warm = SLAMSystem(engine, h, w)
-    warm.backend = FactorGraph(engine, warm.keyframes)
-    warm.gaussian_module = GaussianAccumulator(spatial_stride=4)
-    drive(warm, SyntheticDataset(6, h, w))
+    warm = build_system()
+    n_warm = max(6, args.cadence + 2) if args.cadence else 6
+    drive(warm, SyntheticDataset(n_warm, h, w))
     del warm
     gc.collect()
 
-    fps, relocs = drive(system, ds)
-    print(json.dumps({
+    times = []
+    fps, relocs = drive(system, ds, collect=times)
+    out = {
         "metric": "system_fps_512x384" if not args.tiny else "system_fps_tiny",
         "value": round(fps, 3),
         "unit": "frames/s",
@@ -138,7 +206,22 @@ def main():
         "reboots": relocs,
         "gaussians": int(system.pool.n),
         "backend_edges": len(system.backend.ii),
-    }))
+    }
+    if args.cadence:
+        track_t = [t for t, f in times if not f]
+        kf_t = [t for t, f in times if f]
+        out.update({
+            "mode": "cadence",
+            "cadence": args.cadence,
+            "threaded": bool(args.threaded),
+            "retrieval": bool(args.retrieval),
+            "render_stride": args.render_stride,
+            "t_track_mean_ms": round(1e3 * float(np.mean(track_t)), 1)
+            if track_t else None,
+            "t_kf_event_mean_ms": round(1e3 * float(np.mean(kf_t)), 1)
+            if kf_t else None,
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -101,7 +101,35 @@ class FactorGraph:
             self.Q_ii2jj.append(jnp.asarray(Qj[k, :, 0]))
             self.Q_jj2ii.append(jnp.asarray(Qi[k, :, 0]))
             added = True
+        self._enforce_max_edges()
         return added
+
+    def _enforce_max_edges(self):
+        """Sliding-window edge capacity (config `local_opt.max_edges`).
+
+        The reference grows its edge lists unboundedly
+        (global_opt.py:89-96); a static capacity keeps the TPU solve
+        inside the bucket-padded shapes (staged solves double edges, so
+        E must stay <= half the largest bucket). Eviction drops the
+        oldest loop-closure (non-consecutive) edges first, then the
+        oldest odometry edges — keyframes that lose all edges simply
+        freeze at their last optimized pose (standard sliding-window
+        pose graph)."""
+        cap = int(float(self.cfg.get("max_edges", 1024)))
+        cap = min(cap, 1024)  # staged two-way doubling: bucket max 2048
+        E = len(self.ii)
+        if E <= cap:
+            return
+        drop = E - cap
+        nonconsec = [k for k in range(E) if self.ii[k] != self.jj[k] - 1]
+        consec = [k for k in range(E) if self.ii[k] == self.jj[k] - 1]
+        victims = set((nonconsec + consec)[:drop])
+        keep = [k for k in range(E) if k not in victims]
+        for name in ("ii", "jj", "idx_ii2jj", "idx_jj2ii",
+                     "valid_match_j", "valid_match_i",
+                     "Q_ii2jj", "Q_jj2ii"):
+            lst = getattr(self, name)
+            setattr(self, name, [lst[k] for k in keep])
 
     # ------------------------------------------------------------------
     def get_unique_kf_idx(self):

@@ -18,6 +18,7 @@ re-designed for TPU:
 from __future__ import annotations
 
 import functools
+import pathlib
 from typing import Any, NamedTuple
 
 import jax
@@ -329,3 +330,56 @@ class Trainer:
             return params, opt_state, metrics
 
         return train_step
+
+    # ------------------------------------------------------------------
+    def fit(self, params, opt_state, pshard, batches, *, run_dir,
+            run_name="train", log_every=1, eval_every=0, eval_batches=None,
+            trace_steps=None, compiler_options=None, verbose=False):
+        """Minimal train loop with observability (spec: the reference's
+        Lightning fit with CSV/W&B loggers + optional profiler,
+        `splatt3r_core/main.py:292-328`).
+
+        batches: iterable of batch dicts; trace_steps: (start, stop)
+        step range wrapped in a `jax.profiler` trace (chrome-trace under
+        run_dir/trace). Returns (params, opt_state, logger.path)."""
+        from splatt3r_slam_tpu.parallel.logging import (
+            MetricsLogger,
+            TraceWindow,
+        )
+
+        step_fn = self.make_train_step(pshard,
+                                       compiler_options=compiler_options)
+        eval_fn = self.make_eval_step() if eval_every else None
+        logger = MetricsLogger(
+            run_dir, run_name,
+            meta={"model_cfg": self.model_cfg._asdict(),
+                  "train_cfg": self.cfg._asdict(),
+                  "mesh": str(self.mesh)},
+        )
+        tracer = (TraceWindow(pathlib.Path(run_dir) / "trace", *trace_steps)
+                  if trace_steps else None)
+        try:
+            for i, batch in enumerate(batches):
+                if tracer is not None:
+                    tracer.step(i)
+                params, opt_state, metrics = step_fn(params, opt_state,
+                                                     batch)
+                if i % log_every == 0:
+                    logger.log(i, metrics)
+                    if verbose:
+                        print(f"step {i}: " + " ".join(
+                            f"{k}={float(v):.4f}"
+                            for k, v in metrics.items()))
+                if eval_every and eval_batches and \
+                        i % eval_every == eval_every - 1:
+                    agg = {}
+                    for eb in eval_batches:
+                        emetrics, _rendered = eval_fn(params, eb)
+                        for k, v in emetrics.items():
+                            agg.setdefault(f"val_{k}", []).append(float(v))
+                    logger.log(i, {k: sum(v) / len(v)
+                                   for k, v in agg.items()})
+        finally:
+            if tracer is not None:
+                tracer.close()
+        return params, opt_state, logger.path

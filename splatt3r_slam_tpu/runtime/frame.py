@@ -198,11 +198,18 @@ class FramePrefetcher:
         self._ex = ThreadPoolExecutor(1)
         self._load = load_fn
         self._n = n
+        self._next = 0
         self._fut = self._ex.submit(load_fn, 0) if n > 0 else None
 
     def get(self, i: int):
         """Return item i (must be called with consecutive i from 0)."""
+        if i != self._next:
+            raise IndexError(
+                f"FramePrefetcher.get({i}) out of order "
+                f"(expected {self._next}); this source is sequential-only"
+            )
         out = self._fut.result()
+        self._next = i + 1
         if i + 1 < self._n:
             self._fut = self._ex.submit(self._load, i + 1)
         return out

@@ -42,6 +42,18 @@ class KFState(NamedTuple):
     T_WC: jnp.ndarray  # (8,)
 
 
+def unique_match_count(idx, valid, ns):
+    """Exact number of distinct keyframe pixels hit by valid matches.
+
+    Matches the reference's `torch.unique(idx[valid])` count
+    (tracker.py:104-110) with static shapes: invalid entries scatter to
+    a dedicated overflow slot `ns`, so they can never collide with a
+    real index (a plain scatter-to-0 miscounts when valid matches land
+    on index 0)."""
+    hits = jnp.zeros((ns + 1,), bool).at[jnp.where(valid, idx, ns)].set(True)
+    return hits[:ns].sum()
+
+
 class MatchingParams(NamedTuple):
     max_iter: int = 10
     lambda_init: float = 1e-8
@@ -167,10 +179,7 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
         valid_kf = valid_match & valid_Q
         match_frac = valid_opt.mean()
         match_frac_k = valid_kf.mean()
-        hits = jnp.zeros((ns,), bool).at[
-            jnp.where(valid_match[:, 0], idx, 0)
-        ].set(True)
-        n_unique = hits.sum() - (~valid_match[0, 0] & hits[0])
+        n_unique = unique_match_count(idx, valid_match[:, 0], ns)
         unique_frac = n_unique / ns
 
         if use_calib:

@@ -93,11 +93,22 @@ class SLAMSystem:
 
             self.tracker = FusedTracker(engine, self.keyframes, config)
         else:
+            if fused:
+                # ~5x slower than the fused single-dispatch frontend —
+                # make the perf cliff behind this config knob loud
+                print(
+                    "[splatt3r-slam-tpu] filtering_mode="
+                    f"{config['tracking']['filtering_mode']!r} has no fused "
+                    "frontend; falling back to the modular tracker "
+                    "(~5x slower per frame). weighted_pointmap restores "
+                    "the fast path."
+                )
             self.tracker = FrameTracker(engine, self.keyframes)
         self.backend = backend
         self.gaussian_module = gaussian_module
         self.pool = GaussianPool()
         self.mode = Mode.INIT
+        self.current_frame = None
         self.last_gs_frame_id = None
         self.last_gs_T_WC = None
         self.single_thread = bool(config.get("single_thread", True))
@@ -123,7 +134,8 @@ class SLAMSystem:
         else:
             with self._backend_lock:
                 self._backend_queue.append(kf_idx)
-            if self._backend_thread is None:
+            if self._backend_thread is None or \
+                    not self._backend_thread.is_alive():
                 self._backend_thread = threading.Thread(
                     target=self._backend_worker, daemon=True
                 )
@@ -147,6 +159,8 @@ class SLAMSystem:
                 with self._backend_lock:
                     self._backend_error = e
                     self._backend_busy = False
+                    self._backend_queue.clear()
+                    self._backend_thread = None  # dispatch respawns
                 return
             with self._backend_lock:
                 self._backend_busy = False
@@ -162,6 +176,13 @@ class SLAMSystem:
                     raise err
                 if not self._backend_queue and not self._backend_busy:
                     return
+                if (self._backend_queue and not self._backend_busy
+                        and (self._backend_thread is None
+                             or not self._backend_thread.is_alive())):
+                    raise RuntimeError(
+                        "backend worker died with "
+                        f"{len(self._backend_queue)} pending task(s)"
+                    )
             time.sleep(0.002)
 
     # ------------------------------------------------------------------
@@ -178,8 +199,13 @@ class SLAMSystem:
         self.last_gs_T_WC = frame.T_WC
 
     # ------------------------------------------------------------------
-    def process_frame(self, frame: Frame):
-        """Advance the state machine by one frame. Returns (mode, new_kf)."""
+    def process_frame(self, frame: Frame, force_keyframe: bool = False):
+        """Advance the state machine by one frame. Returns (mode, new_kf).
+
+        `force_keyframe` ORs with the tracker's on-device keyframe
+        decision (host-side, no recompile) — used by benchmarks to pin a
+        keyframe cadence and by callers that need an anchor frame."""
+        self.current_frame = frame  # viewer picture-in-picture panel
         if self.mode == Mode.INIT:
             X, C = self.engine.inference_mono(frame)
             frame.update_pointmap(X, C, self.tracker.filtering_mode,
@@ -194,6 +220,7 @@ class SLAMSystem:
 
         if self.mode == Mode.TRACKING:
             new_kf, try_reloc = self.tracker.track(frame)
+            new_kf = new_kf or force_keyframe
             if try_reloc:
                 self.mode = Mode.RELOC
                 return self.mode, False
@@ -239,14 +266,18 @@ class SLAMSystem:
         prefetch = FramePrefetcher(load, n)
         t0 = time.time()
         fps = 0.0
-        for i in range(n):
-            frame = prefetch.get(i)
-            if config.get("use_calib") and self.keyframes.K is not None:
-                frame.K = self.keyframes.K
-            self.process_frame(frame)
-            if verbose and i % 30 == 29:
-                fps = (i + 1) / (time.time() - t0)
-                print(f"frame {i + 1}/{n}  FPS: {fps:.2f}  mode={self.mode}")
+        try:
+            for i in range(n):
+                frame = prefetch.get(i)
+                if config.get("use_calib") and self.keyframes.K is not None:
+                    frame.K = self.keyframes.K
+                self.process_frame(frame)
+                if verbose and i % 30 == 29:
+                    fps = (i + 1) / (time.time() - t0)
+                    print(f"frame {i + 1}/{n}  FPS: {fps:.2f}  "
+                          f"mode={self.mode}")
+        finally:
+            prefetch.close()
         if not self.single_thread:
             self._drain_backend()
         self._stop = True

@@ -41,6 +41,9 @@ class WindowMsg:
     spatial_stride: int = 4
     show_keyframes: bool = True
     show_edges: bool = True
+    # display controls (reference GUI surface, visualization.py:303-448)
+    render_mode: str = "rgb"  # "rgb" | "depth"
+    show_images: bool = True  # keyframe strip + current-frame panel
 
 
 def depth2rgb(depth: np.ndarray, min_d=0.1, max_d=10.0):
@@ -85,10 +88,14 @@ class Viewer:
     """GS viewer: interactive (cv2 window) or headless (PNG/MP4 sink)."""
 
     def __init__(self, system, hw=(384, 512), headless=True,
-                 out_dir="logs/viz", vfov=60.0, rasterizer="xla"):
+                 out_dir="logs/viz", vfov=60.0, rasterizer="xla",
+                 k_max=512):
         # rasterizer: "xla" (fast, k_max-capped tiles) or "pallas" (exact;
-        # benchmarked in scripts/bench_rasterizer.py)
+        # benchmarked in scripts/bench_rasterizer.py); k_max matches the
+        # render path's default (splat/decoder.py) so the viewer shows
+        # what the exported renders show
         self.rasterizer = rasterizer
+        self.k_max = int(k_max)
         self.system = system
         self.h, self.w = hw
         self.headless = headless
@@ -116,6 +123,19 @@ class Viewer:
             center = np.asarray(means.mean(axis=0))
             T_WC_4x4 = orbit_pose(center, self.radius, self.yaw, self.pitch)
         view = np.linalg.inv(T_WC_4x4).astype(np.float32)
+        if self.state.render_mode == "depth":
+            # depth-render display mode (reference GUI "render depth",
+            # cuda_splatting.py:227-269 path)
+            from splatt3r_slam_tpu.splat.decoder import render_depth
+
+            d = np.asarray(render_depth(
+                means, cov, opa, jnp.asarray(view), jnp.asarray(self.K),
+                (self.h, self.w), mode="depth", k_max=self.k_max,
+            ))
+            lo, hi = (np.percentile(d[d > 0], [2, 98])
+                      if (d > 0).any() else (0.1, 10.0))
+            return depth2rgb(d, float(lo), float(max(hi, lo + 1e-3))
+                             ).astype(np.float32) / 255.0
         if self.rasterizer == "pallas":
             from splatt3r_slam_tpu.splat.pallas_rasterizer import (
                 render_tiles_pallas,
@@ -128,7 +148,7 @@ class Viewer:
         else:
             img = render_tiles(
                 means, cov, colors, opa, jnp.asarray(view),
-                jnp.asarray(self.K), (self.h, self.w), k_max=256,
+                jnp.asarray(self.K), (self.h, self.w), k_max=self.k_max,
             )
         return np.clip(np.asarray(img), 0, 1)
 
@@ -231,16 +251,27 @@ class Viewer:
             gs = (self.render_pointmap_view(view) * 255).astype(np.uint8)
         canvas = gs.copy()
         canvas = self._draw_overlays(canvas, view)
-        # keyframe thumbnail strip
+        # image panels (reference GUI keyframe/current pictures,
+        # visualization.py:356-448): keyframe strip bottom-left,
+        # current camera frame picture-in-picture top-right
         kfs = self.system.keyframes
-        thumbs = []
-        for i in range(max(0, len(kfs) - 4), len(kfs)):
-            t = (uimg01(kfs[i]) * 255).astype(np.uint8)
-            t = cv2.resize(t, (self.w // 4, self.h // 4))
-            thumbs.append(t)
-        if thumbs:
-            strip = np.concatenate(thumbs, axis=1)
-            canvas[-strip.shape[0]:, : strip.shape[1]] = strip
+        if self.state.show_images:
+            thumbs = []
+            for i in range(max(0, len(kfs) - 4), len(kfs)):
+                t = (uimg01(kfs[i]) * 255).astype(np.uint8)
+                t = cv2.resize(t, (self.w // 4, self.h // 4))
+                thumbs.append(t)
+            if thumbs:
+                strip = np.concatenate(thumbs, axis=1)
+                canvas[-strip.shape[0]:, : strip.shape[1]] = strip
+            cur = getattr(self.system, "current_frame", None)
+            if cur is not None and cur.uimg is not None:
+                pip = (uimg01(cur) * 255).astype(np.uint8)
+                pip = cv2.resize(pip, (self.w // 4, self.h // 4))
+                ph, pw = pip.shape[:2]
+                canvas[2 : 2 + ph, self.w - pw - 2 : self.w - 2] = pip
+                cv2.rectangle(canvas, (self.w - pw - 2, 2),
+                              (self.w - 2, 2 + ph), (255, 255, 255), 1)
         n_g = self.system.pool.n
         cv2.putText(canvas, f"gaussians: {n_g}  kfs: {len(kfs)}  "
                     f"mode: {self.system.mode.name}",
@@ -278,6 +309,11 @@ class Viewer:
             elif key == ord("s"):
                 self.radius *= 1.1
             # GUI → main runtime controls (reference main.py:368-386)
+            elif key == ord("x"):
+                self.state.render_mode = (
+                    "depth" if self.state.render_mode == "rgb" else "rgb")
+            elif key == ord("i"):
+                self.state.show_images = not self.state.show_images
             elif key == ord("g"):
                 self.state.gs_on = not self.state.gs_on
             elif key == ord("k"):

@@ -129,43 +129,25 @@ def _searchsorted_bin(sorted_arr, queries, n_iter):
     return lo
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("hw", "tpg_side", "k_max", "tile_chunk"),
-)
-def render_tiles(
-    means,  # (G, 3) world
-    cov_triu,  # (G, 6)
-    colors,  # (G, 3)
-    opa,  # (G,)
-    view,  # (4, 4) world→camera
-    K,  # (3, 3) pixel intrinsics
-    hw,  # static (H, W), multiples of 16
-    bg=None,  # (3,) background
-    tpg_side: int = 4,
-    k_max: int = 512,
-    tile_chunk: int = 32,
-):
-    """Render (H, W, 3) image. H, W must be multiples of TILE=16."""
+def bin_tiles(means2d, depth, radius, ok, hw, tpg_side, k_max):
+    """Tile binning shared by the XLA and Pallas compositors.
+
+    One combined (tile_id << 18 | depth_q) int32 key per (gaussian, tile
+    slot), ONE `lax.sort` with the gaussian index as payload, per-tile
+    segment bounds via explicit binary search, and per-tile depth-ordered
+    index lists capped at k_max.
+
+    Returns (gidx (T, k_max) int32, valid_k (T, k_max) bool,
+    counts (T,) int32). Strategy kept from the CUDA rasterizer because it
+    is also right for TPU: argsort + per-array reorder gathers cost
+    ~85 ms per 6.4M-row gather; the capped (T·k_max)-row gather the
+    consumer performs instead is bounded by the image size, not G·TPG.
+    """
     H, W = hw
-    assert H % TILE == 0 and W % TILE == 0
     TX, TY = W // TILE, H // TILE
     T = TX * TY
-    G = means.shape[0]
-    if bg is None:
-        bg = jnp.zeros(3)
+    G = means2d.shape[0]
 
-    means2d, conic, depth, radius, ok = project_gaussians(
-        means, cov_triu, opa, view, K, hw
-    )
-
-    # ---- combined (tile | depth) keys, ONE payload sort -------------------
-    # The CUDA rasterizer's strategy, kept because it is also the right
-    # one for TPU: a global depth argsort + per-array reorder gathers cost
-    # ~85 ms per 6.4M-row gather; instead each slot emits a single int32
-    # key `tile_id << DBITS | depth_q` and one lax.sort carries the
-    # gaussian index as payload. Compositing then gathers attributes once,
-    # straight from the original (unsorted) arrays.
     DBITS = 18
     dmax = jnp.max(jnp.where(ok, depth, 0.0))
     dmin = jnp.min(jnp.where(ok, depth, jnp.inf))
@@ -175,7 +157,6 @@ def render_tiles(
         0, (1 << DBITS) - 1,
     )
 
-    # ---- tile key emission (≤ tpg_side² tiles per gaussian) --------------
     u_, v_ = means2d[:, 0], means2d[:, 1]
     tx0 = jnp.clip(((u_ - radius) // TILE).astype(jnp.int32), 0, TX - 1)
     tx1 = jnp.clip(((u_ + radius) // TILE).astype(jnp.int32), 0, TX - 1)
@@ -199,8 +180,6 @@ def render_tiles(
     ).reshape(-1)
     sorted_key, sorted_g = jax.lax.sort((flat_key, flat_g), num_keys=1)
 
-    # per-tile segment boundaries (explicit log-step binary search; see
-    # _searchsorted_bin) — tile t's segment is [t << DBITS, (t+1) << DBITS)
     P = sorted_key.shape[0]
     n_iter = max(1, int(np.ceil(np.log2(P + 1))))
     bounds = _searchsorted_bin(
@@ -208,15 +187,59 @@ def render_tiles(
     )
     starts, ends = bounds[:T], bounds[1:]
 
-    attrs_s = jnp.concatenate(
-        [means2d, conic, colors, opa[:, None]], axis=-1
-    )  # (G, 9): u v ca cb cc r g b opa — original order, gathered by gidx
-
-    # (T, K_MAX) per-tile gaussian indices (depth-ordered, padded)
     pos = starts[:, None] + jnp.arange(k_max)[None, :]
     valid_k = pos < ends[:, None]
     pos = jnp.clip(pos, 0, sorted_g.shape[0] - 1)
-    gidx = sorted_g[pos]  # (T, K_MAX)
+    gidx = sorted_g[pos]  # (T, k_max) depth-ordered, padded
+    counts = jnp.minimum(ends - starts, k_max).astype(jnp.int32)
+    return gidx, valid_k, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hw", "tpg_side", "k_max", "tile_chunk"),
+)
+def render_tiles(
+    means,  # (G, 3) world
+    cov_triu,  # (G, 6)
+    colors,  # (G, 3)
+    opa,  # (G,)
+    view,  # (4, 4) world→camera
+    K,  # (3, 3) pixel intrinsics
+    hw,  # static (H, W), multiples of 16
+    bg=None,  # (3,) background
+    tpg_side: int = 4,
+    k_max: int = 512,
+    tile_chunk: int = 32,
+):
+    """Render (H, W, 3) image. H, W must be multiples of TILE=16."""
+    H, W = hw
+    assert H % TILE == 0 and W % TILE == 0
+    TX, TY = W // TILE, H // TILE
+    T = TX * TY
+    # key layout is (tile_id << DBITS) | depth_q in int32; the sentinel
+    # tile id T must also fit, so T < 2^(31-18) = 8192 tiles (~2.1 MP).
+    if T + 1 > (1 << (31 - 18)):
+        raise ValueError(
+            f"render_tiles: {T} tiles ({W}x{H}) overflows the int32 "
+            "(tile<<18|depth) sort key; max 8191 tiles (~2.1 MP)."
+        )
+    G = means.shape[0]
+    if bg is None:
+        bg = jnp.zeros(3)
+
+    means2d, conic, depth, radius, ok = project_gaussians(
+        means, cov_triu, opa, view, K, hw
+    )
+
+    # ---- binning: combined (tile | depth) keys, ONE payload sort ---------
+    gidx, valid_k, _counts = bin_tiles(
+        means2d, depth, radius, ok, hw, tpg_side, k_max
+    )
+
+    attrs_s = jnp.concatenate(
+        [means2d, conic, colors, opa[:, None]], axis=-1
+    )  # (G, 9): u v ca cb cc r g b opa — original order, gathered by gidx
 
     # ---- per-tile compositing (chunked over tiles) ------------------------
     px = jnp.arange(TILE, dtype=jnp.float32)

@@ -115,7 +115,20 @@ def convert_torch_lpips(sd: dict) -> dict:
 
 
 def load_lpips_params(path: str) -> dict:
-    """Load a torch-saved LPIPS module/state-dict file."""
+    """Load LPIPS weights: a `.npz` written by scripts/convert_lpips.py
+    (torch-free), or a torch-saved LPIPS module/state-dict file."""
+    if str(path).endswith(".npz"):
+        z = np.load(path)
+        params = {"convs": [], "lins": []}
+        for s, block in enumerate(VGG_SLICES):
+            params["convs"].append([
+                {"kernel": jnp.asarray(z[f"conv_{s}_{c}_kernel"]),
+                 "bias": jnp.asarray(z[f"conv_{s}_{c}_bias"])}
+                for c in range(len(block))
+            ])
+            params["lins"].append(jnp.asarray(z[f"lin_{s}"]))
+        return params
+
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)

@@ -97,6 +97,34 @@ def test_fused_match_stride_2_runs(setup):
         cfgmod.config["matching"]["match_stride"] = old
 
 
+def test_unique_match_count_exact():
+    """Pins the keyframe-selection unique count to the reference's
+    torch.unique semantics (tracker.py:104-110), including the case
+    where valid matches legitimately land on index 0 while other
+    matches are invalid (the old scatter-to-0 approximation miscounted
+    here)."""
+    from splatt3r_slam_tpu.runtime.fused import unique_match_count
+
+    rng = np.random.default_rng(7)
+    ns = 64
+    for trial in range(20):
+        idx = rng.integers(0, ns, size=ns).astype(np.int32)
+        valid = rng.random(ns) < 0.6
+        # force the adversarial pattern: matches (valid and invalid)
+        # landing on index 0
+        idx[:3] = 0
+        expect = len(np.unique(idx[valid]))
+        got = int(unique_match_count(jnp.asarray(idx), jnp.asarray(valid),
+                                     ns))
+        assert got == expect, (trial, got, expect)
+    # deterministic adversarial case: valid match on 0 + invalid elsewhere
+    idx = np.zeros(8, np.int32)
+    idx[4:] = [1, 2, 2, 3]
+    valid = np.array([True, True, False, False, True, False, True, True])
+    assert int(unique_match_count(jnp.asarray(idx), jnp.asarray(valid),
+                                  8)) == 4  # {0, 1, 2, 3}
+
+
 def test_fused_matches_modular_calibrated(setup):
     """Calibrated pose solve (pixel+log-depth GN) in the fused step must
     match the modular tracker (reference tracker.py:216-266 semantics)."""

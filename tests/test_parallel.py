@@ -130,3 +130,56 @@ def test_train_step_dp_fsdp_tp():
     batch = jax.device_put(batch, batch_sharding(mesh))
     params, opt_state, m = step(params, opt_state, batch)
     assert np.isfinite(float(m["regr3d"]))
+
+
+def test_fit_loop_csv_logging(tmp_path):
+    """Trainer.fit writes a CSV metrics file with step/wall_time/metric
+    columns and runs eval rows (reference CSV-logger semantics,
+    splatt3r_core/main.py:292-310). Runs on a 1-device mesh to stay
+    fast."""
+    import csv
+
+    mesh = make_mesh(1)
+    cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
+    trainer = Trainer(cfg, TrainConfig(train_gaussian_heads_only=False),
+                      mesh=mesh)
+    h, w = 16, 32
+    params, opt_state, pshard = trainer.init_state(h, w)
+
+    rng = np.random.default_rng(0)
+
+    eye = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+    Km = jnp.broadcast_to(
+        jnp.array([[40.0, 0, w / 2], [0, 40, h / 2], [0, 0, 1]]),
+        (1, 1, 3, 3))
+
+    def mk_batch():
+        return {
+            "img1": jnp.asarray(rng.normal(size=(1, h, w, 3)), jnp.float32),
+            "img2": jnp.asarray(rng.normal(size=(1, h, w, 3)), jnp.float32),
+            "gt1_pts": jnp.asarray(rng.normal(size=(1, h, w, 3)),
+                                   jnp.float32),
+            "gt2_pts": jnp.asarray(rng.normal(size=(1, h, w, 3)),
+                                   jnp.float32),
+            "valid1": jnp.ones((1, h, w), bool),
+            "valid2": jnp.ones((1, h, w), bool),
+            # eval-step render keys (reference val/test protocol)
+            "context_pose": eye,
+            "target_pose": eye[:, None],
+            "target_K": Km,
+            "target_img": jnp.asarray(rng.random((1, 1, h, w, 3)),
+                                      jnp.float32),
+        }
+
+    batches = [mk_batch() for _ in range(3)]
+    params, opt_state, csv_path = trainer.fit(
+        params, opt_state, pshard, batches, run_dir=tmp_path,
+        eval_every=3, eval_batches=[mk_batch()],
+    )
+    rows = list(csv.DictReader(open(csv_path)))
+    assert len(rows) == 4  # 3 train rows + 1 eval row
+    assert "regr3d" in rows[0] and float(rows[0]["regr3d"]) > 0
+    assert "wall_time_s" in rows[0]
+    val_rows = [r for r in rows if r.get("val_psnr", "")]
+    assert len(val_rows) == 1
+    assert (tmp_path / "train_meta.json").exists()
