@@ -29,6 +29,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 def main():
     import jax
 
+    # persistent compile cache: env vars do NOT take effect in this image
+    # (sitecustomize initializes jax first) — config.update does
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     backend = jax.default_backend()
     on_accel = backend not in ("cpu",)
 

@@ -64,9 +64,16 @@ def main():
                     help="enable loop-closure retrieval in the backend")
     ap.add_argument("--render-stride", type=int, default=0,
                     help="render the current view every R frames")
+    ap.add_argument("--lag", action="store_true",
+                    help="tracking.pipeline_lag=1 (overlap flag fetch)")
     args = ap.parse_args()
 
     import jax
+
+    # persistent compile cache: env vars do NOT take effect in this image
+    # (sitecustomize initializes jax first) — config.update does
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
@@ -81,6 +88,8 @@ def main():
         cfgmod.config["tracking"]["min_match_frac"] = 0.0
     if args.threaded:
         cfgmod.config["single_thread"] = False
+    if args.lag:
+        cfgmod.config["tracking"]["pipeline_lag"] = 1
 
     import jax.numpy as jnp
 
@@ -218,8 +227,17 @@ def main():
             "render_stride": args.render_stride,
             "t_track_mean_ms": round(1e3 * float(np.mean(track_t)), 1)
             if track_t else None,
+            # medians are robust to one-off compile outliers (first use
+            # of a program variant mid-run costs seconds on the tunnel)
+            "t_track_p50_ms": round(1e3 * float(np.median(track_t)), 1)
+            if track_t else None,
             "t_kf_event_mean_ms": round(1e3 * float(np.mean(kf_t)), 1)
             if kf_t else None,
+            "t_kf_event_p50_ms": round(1e3 * float(np.median(kf_t)), 1)
+            if kf_t else None,
+            "fps_p50_with_renders": round(
+                1.0 / max(float(np.median(track_t)), 1e-9), 2)
+            if track_t else None,
         })
     print(json.dumps(out))
 

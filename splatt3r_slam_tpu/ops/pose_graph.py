@@ -254,11 +254,15 @@ def gauss_newton_rays(
     """Ray+dist pose-graph GN (spec: gn_kernels.cu:1139-1227)."""
     Twc = jnp.asarray(Twc, jnp.float32)
 
+    # match gathers and confidence slices do not depend on the poses —
+    # hoist them out of the GN while_loop (10 iterations otherwise re-pay
+    # the (E, Ns)-row gathers every solve step)
+    Xi, Xj, Ci, Cj = _gather_edge_points(Xs, Cs, ii, jj, idx_ii2jj,
+                                         valid_match, pix_stride)
+    Q_s = Q[:, ::pix_stride]
+    v_s = valid_match[:, ::pix_stride]
+
     def edge_fn(T):
-        Xi, Xj, Ci, Cj = _gather_edge_points(Xs, Cs, ii, jj, idx_ii2jj,
-                                             valid_match, pix_stride)
-        Q_s = Q[:, ::pix_stride]
-        v_s = valid_match[:, ::pix_stride]
         T_i = T[ii]
         T_ij = jax.vmap(sim3.rel)(T_i, T[jj])
 
@@ -270,7 +274,12 @@ def gauss_newton_rays(
             )
             return _edge_system(J2, w, err)
 
-        return lax.map(one, (T_ij, T_i, Xi, Xj, Ci, Cj, Q_s, v_s))
+        # batch_size=8: vmap edges in chunks — a plain lax.map
+        # serializes E device loops; full vmap over the 2048-edge
+        # bucket would materialize (E, Ns, 4, 14) Jacobians. 8 edges
+        # x ~49k rows keeps J2 under ~100 MB while filling the MXU.
+        return lax.map(one, (T_ij, T_i, Xi, Xj, Ci, Cj, Q_s, v_s),
+                       batch_size=8)
 
     return _gn_iterations(edge_fn, Twc, ii, jj, edge_on, num_fix, max_iter,
                           delta_thresh)
@@ -299,11 +308,12 @@ def gauss_newton_calib(
     """Calibrated pixel+log-depth pose-graph GN (gn_kernels.cu:1230-1636)."""
     Twc = jnp.asarray(Twc, jnp.float32)
 
+    Xi, Xj, Ci, Cj = _gather_edge_points(Xs, Cs, ii, jj, idx_ii2jj,
+                                         valid_match, pix_stride)
+    Q_s = Q[:, ::pix_stride]
+    v_s = valid_match[:, ::pix_stride]
+
     def edge_fn(T):
-        Xi, Xj, Ci, Cj = _gather_edge_points(Xs, Cs, ii, jj, idx_ii2jj,
-                                             valid_match, pix_stride)
-        Q_s = Q[:, ::pix_stride]
-        v_s = valid_match[:, ::pix_stride]
         T_i = T[ii]
         T_ij = jax.vmap(sim3.rel)(T_i, T[jj])
 
@@ -316,7 +326,12 @@ def gauss_newton_calib(
             )
             return _edge_system(J2, w, err)
 
-        return lax.map(one, (T_ij, T_i, Xi, Xj, Ci, Cj, Q_s, v_s))
+        # batch_size=8: vmap edges in chunks — a plain lax.map
+        # serializes E device loops; full vmap over the 2048-edge
+        # bucket would materialize (E, Ns, 4, 14) Jacobians. 8 edges
+        # x ~49k rows keeps J2 under ~100 MB while filling the MXU.
+        return lax.map(one, (T_ij, T_i, Xi, Xj, Ci, Cj, Q_s, v_s),
+                       batch_size=8)
 
     return _gn_iterations(edge_fn, Twc, ii, jj, edge_on, num_fix, max_iter,
                           delta_thresh)
@@ -340,11 +355,12 @@ def gauss_newton_points(
     """3D point-alignment pose-graph GN (gn_kernels.cu:454-810)."""
     Twc = jnp.asarray(Twc, jnp.float32)
 
+    Xi, Xj, Ci, Cj = _gather_edge_points(Xs, Cs, ii, jj, idx_ii2jj,
+                                         valid_match, pix_stride)
+    Q_s = Q[:, ::pix_stride]
+    v_s = valid_match[:, ::pix_stride]
+
     def edge_fn(T):
-        Xi, Xj, Ci, Cj = _gather_edge_points(Xs, Cs, ii, jj, idx_ii2jj,
-                                             valid_match, pix_stride)
-        Q_s = Q[:, ::pix_stride]
-        v_s = valid_match[:, ::pix_stride]
         T_i = T[ii]
         T_ij = jax.vmap(sim3.rel)(T_i, T[jj])
 
@@ -356,7 +372,12 @@ def gauss_newton_points(
             )
             return _edge_system(J2, w, err)
 
-        return lax.map(one, (T_ij, T_i, Xi, Xj, Ci, Cj, Q_s, v_s))
+        # batch_size=8: vmap edges in chunks — a plain lax.map
+        # serializes E device loops; full vmap over the 2048-edge
+        # bucket would materialize (E, Ns, 4, 14) Jacobians. 8 edges
+        # x ~49k rows keeps J2 under ~100 MB while filling the MXU.
+        return lax.map(one, (T_ij, T_i, Xi, Xj, Ci, Cj, Q_s, v_s),
+                       batch_size=8)
 
     return _gn_iterations(edge_fn, Twc, ii, jj, edge_on, num_fix, max_iter,
                           delta_thresh)

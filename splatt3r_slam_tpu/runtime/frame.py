@@ -336,11 +336,20 @@ class KeyframeBuffer:
         return T, X, C
 
 
-def _pool_append(buf, chunk, start):
+def _pool_append(buf, means, cov_triu, colors, opacities, start,
+                 opacity_threshold):
+    """Pack + threshold + write in ONE program (each eager op on this
+    per-append path costs a dispatch round-trip on a remote-TPU
+    platform)."""
+    opa = jnp.where(opacities > opacity_threshold, opacities, 0.0)
+    chunk = jnp.concatenate(
+        [means, cov_triu, colors, opa[:, None]], axis=-1
+    ).astype(jnp.float32)
     return jax.lax.dynamic_update_slice_in_dim(buf, chunk, start, axis=0)
 
 
-_pool_append_jit = jax.jit(_pool_append, donate_argnums=0)
+_pool_append_jit = jax.jit(_pool_append, donate_argnums=0,
+                           static_argnames=("opacity_threshold",))
 
 
 class GaussianPool:
@@ -361,13 +370,12 @@ class GaussianPool:
                      opacity_threshold: float = 0.05):
         """Append a fixed-size chunk; sub-threshold opacities are zeroed
         (ignored by the rasterizer) rather than compacted."""
-        opa = jnp.where(opacities > opacity_threshold, opacities, 0.0)
-        chunk = jnp.concatenate(
-            [means, cov_triu, colors, opa[:, None]], axis=-1
-        ).astype(jnp.float32)
-        g = chunk.shape[0]
+        g = means.shape[0]
         if g > self.max_gaussians:
-            chunk = chunk[: self.max_gaussians]
+            means = means[: self.max_gaussians]
+            cov_triu = cov_triu[: self.max_gaussians]
+            colors = colors[: self.max_gaussians]
+            opacities = opacities[: self.max_gaussians]
             g = self.max_gaussians
         if self.n + g > self.max_gaussians:
             half = self.max_gaussians // 2
@@ -375,7 +383,14 @@ class GaussianPool:
             self.data = jnp.zeros_like(self.data).at[:half].set(keep)
             self.kf_id[:half] = self.kf_id[self.n - half : self.n]
             self.n = half
-        self.data = _pool_append_jit(self.data, chunk, self.n)
+        # start offset as a TRACED operand: a python-int start bakes into
+        # the program as a constant, so every append at a new offset
+        # would recompile (~5 s each over a remote-TPU tunnel)
+        self.data = _pool_append_jit(
+            self.data, means, cov_triu, colors, opacities,
+            jnp.asarray(self.n, jnp.int32),
+            opacity_threshold=float(opacity_threshold),
+        )
         self.kf_id[self.n : self.n + g] = kf_idx
         self.n += g
 

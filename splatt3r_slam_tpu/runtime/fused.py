@@ -221,9 +221,12 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
 
         new_kf = (jnp.minimum(match_frac_k, unique_frac)
                   < tcfg.match_frac_thresh) & ok
+        # 5th slot carries the device-side fusion count so a pipelined
+        # (1-frame-lag) host can keep its N bookkeeping in lockstep
         flags = jnp.stack(
             [match_frac, new_kf.astype(jnp.float32),
-             fail.astype(jnp.float32), try_reloc.astype(jnp.float32)]
+             fail.astype(jnp.float32), try_reloc.astype(jnp.float32),
+             kf_new.N_fused]
         )
         out = {
             "feat": feat, "pos": pos,
@@ -272,9 +275,20 @@ class FusedTracker:
         self._kf_state = None
         self.filtering_mode = config["tracking"]["filtering_mode"]
         self.filtering_score = config["tracking"]["filtering_score"]
+        # pipeline_lag=1: consume each frame's flags one frame LATE so
+        # the host round-trip overlaps the next frame's device work
+        # (the reference's 3-process pipeline has the same relaxation;
+        # keyframe selection takes effect one frame later). Eval configs
+        # keep 0 (deterministic, frame-exact decisions).
+        self.pipeline_lag = int(config["tracking"].get("pipeline_lag", 0))
+        self._pending = None
 
     def reset_idx_f2k(self):
         self.idx_f2k = None
+        # drop any in-flight (lagged) decision: it was made relative to a
+        # keyframe that is being replaced (new keyframe or reloc anchor),
+        # so consuming it later would re-trigger stale mode changes
+        self._pending = None
 
     def _sync_kf_state(self):
         kf = self.keyframes.last_keyframe()
@@ -291,16 +305,17 @@ class FusedTracker:
             self.engine.ensure_encoded(self.keyframes.last_keyframe())
             self._sync_kf_state()
 
-        n = self.engine.h * self.engine.w
         idx_init = self.idx_f2k
         K = (self.keyframes.K if self.use_calib else None)
         out, flags = self.step(
             self.engine.params, frame.img, self._kf_state, frame.T_WC,
             idx_init, K,
         )
-        flags = np.asarray(flags)  # the single host sync
-        match_frac, new_kf, fail, try_reloc = flags
 
+        # device-side folds are UNCONDITIONAL: the fused step already
+        # gates every state output by `ok` on device (kf/T_WCf are
+        # passthrough when tracking failed), so no host decision is
+        # needed before the next dispatch.
         self.idx_f2k = out["idx_f2k"]
         frame.feat, frame.pos = out["feat"], out["pos"]
         frame.X_canon, frame.C = out["X"], out["C"]
@@ -317,25 +332,36 @@ class FusedTracker:
                 "X1": out["X"], "C1": out["C"],
                 "X2": out["Xkf"], "C2": out["Ckf"],
             }
+        frame.T_WC = out["T_WCf"]
+        kfr = self.keyframes.last_keyframe()
+        kfr.X_canon = out["kf"].X
+        kfr.C = out["kf"].C
+        self._kf_state = out["kf"]
+        self.keyframes.is_dirty[len(self.keyframes) - 1] = False
 
+        if self.pipeline_lag > 0:
+            try:
+                flags.copy_to_host_async()
+            except Exception:
+                pass
+            prev, self._pending = self._pending, (frame, flags, kfr)
+            if prev is None:
+                return False, False
+            pframe, pflags, pkfr = prev
+            return self._consume(pframe, np.asarray(pflags), pkfr)
+        return self._consume(frame, np.asarray(flags), kfr)
+
+    def _consume(self, frame, flags, kfr):
+        """Apply one frame's host decisions from its (fetched) flags."""
+        match_frac, new_kf, fail, try_reloc, n_fused = flags
         if try_reloc > 0:
             if fail > 0:
                 print(f"Cholesky failed {frame.frame_id}")
             else:
                 print(f"Skipped frame {frame.frame_id}")
             return False, True
-
-        frame.T_WC = out["T_WCf"]
-        # fold updated kf state back into the store (no extra device sync:
-        # the fusion count is tracked host-side in lockstep)
-        self._host_N += 1
-        kfr = self.keyframes.last_keyframe()
-        kfr.X_canon = out["kf"].X
-        kfr.C = out["kf"].C
+        self._host_N = int(round(float(n_fused)))
         kfr.N = self._host_N
-        self._kf_state = out["kf"]
-        self.keyframes.is_dirty[len(self.keyframes) - 1] = False
-
         if new_kf > 0:
             self.reset_idx_f2k()
             self._kf_state = None

@@ -16,6 +16,9 @@ scales/rotations, SH residual from the source images, Sim3 poses.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from splatt3r_slam_tpu.lie import sim3
@@ -187,56 +190,54 @@ def render_frame(frame, ref_frame, K=None, target_T_WC=None, hw=None,
     _, h, w, _ = gp["means"].shape
     if hw is None:
         hw = (h, w)
-
-    def unnorm(img):
-        return jnp.clip(img[0] * 0.5 + 0.5, 0.0, 1.0)
-
-    img1 = unnorm(frame.img)
-    img2 = unnorm(ref_frame.img)
-
-    means = []
-    covs = []
-    cols = []
-    opas = []
-    for pred, img in ((gp, img1), (gc, img2)):
-        m = pred["means"][0].reshape(-1, 3)
-        cov = build_covariance(
-            pred["scales"][0].reshape(-1, 3),
-            pred["rotations"][0].reshape(-1, 4),
-        )
-        sh0 = pred["sh"][0][..., 0].reshape(-1, 3) + RGB2SH(
-            img.reshape(-1, 3)
-        )
-        means.append(m)
-        covs.append(cov_to_triu(cov))
-        cols.append(jnp.clip(SH2RGB(sh0), 0.0, 1.0))
-        opas.append(pred["opacities"][0].reshape(-1))
-    means = jnp.concatenate(means)
-    covs = jnp.concatenate(covs)
-    cols = jnp.concatenate(cols)
-    opas = jnp.concatenate(opas)
-
-    # gaussians live in the frame's camera coords; view = T_target⁻¹ ∘ T_frame
-    T_WC_frame = sim3.matrix(frame.T_WC)
-    T_WC_target = (
-        T_WC_frame if target_T_WC is None else sim3.matrix(target_T_WC)
-    )
-    view = jnp.linalg.inv(T_WC_target) @ T_WC_frame  # frame-cam → target-cam
-
     if K is None:
         focal = float(max(hw))
         K = jnp.asarray(
             [[focal, 0, hw[1] / 2], [0, focal, hw[0] / 2], [0, 0, 1]],
             jnp.float32,
         )
+    return _render_frame_jit(
+        tuple((p["means"], p["scales"], p["rotations"], p["sh"],
+               p["opacities"]) for p in (gp, gc)),
+        frame.img, ref_frame.img, frame.T_WC,
+        frame.T_WC if target_T_WC is None else target_T_WC,
+        jnp.asarray(K, jnp.float32), hw, k_max, tpg_side,
+        jnp.asarray(bg, jnp.float32), rasterizer,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hw", "k_max", "tpg_side", "rasterizer")
+)
+def _render_frame_jit(preds, img_f, img_ref, T_WC_f, T_WC_target, K, hw,
+                      k_max, tpg_side, bg, rasterizer):
+    """Whole render prep + rasterize as ONE device program (the ~20
+    eager prep ops each cost a dispatch round-trip on a remote-TPU
+    platform — measured ~0.5 s per render before fusing)."""
+    means, covs, cols, opas = [], [], [], []
+    for (m, sc, rot, sh, op), img_n in zip(preds, (img_f, img_ref)):
+        img = jnp.clip(img_n[0] * 0.5 + 0.5, 0.0, 1.0)
+        cov = build_covariance(sc[0].reshape(-1, 3), rot[0].reshape(-1, 4))
+        sh0 = sh[0][..., 0].reshape(-1, 3) + RGB2SH(img.reshape(-1, 3))
+        means.append(m[0].reshape(-1, 3))
+        covs.append(cov_to_triu(cov))
+        cols.append(jnp.clip(SH2RGB(sh0), 0.0, 1.0))
+        opas.append(op[0].reshape(-1))
+    means = jnp.concatenate(means)
+    covs = jnp.concatenate(covs)
+    cols = jnp.concatenate(cols)
+    opas = jnp.concatenate(opas)
+
+    # gaussians live in the frame's camera coords; view = T_target⁻¹ ∘ T_frame
+    T_WC_frame = sim3.matrix(T_WC_f)
+    view = jnp.linalg.inv(sim3.matrix(T_WC_target)) @ T_WC_frame
+
     if rasterizer == "pallas":
         from splatt3r_slam_tpu.splat.pallas_rasterizer import (
             render_tiles_pallas,
         )
 
         return render_tiles_pallas(means, covs, cols, opas, view, K, hw,
-                                   jnp.asarray(bg, jnp.float32),
-                                   tpg_side=tpg_side)
-    return render_tiles(means, covs, cols, opas, view, K, hw,
-                        jnp.asarray(bg, jnp.float32), tpg_side=tpg_side,
-                        k_max=k_max)
+                                   bg, tpg_side=tpg_side)
+    return render_tiles(means, covs, cols, opas, view, K, hw, bg,
+                        tpg_side=tpg_side, k_max=k_max)

@@ -174,25 +174,33 @@ class GaussianAccumulator:
         self.include_cross = include_cross
 
     def gaussians_to_world(self, frame):
+        """Returns (means, cov_triu, colors, opacities) as ONE device
+        dispatch — every eager op on this per-append path costs a
+        dispatch round-trip on a remote-TPU platform."""
         if frame.gaussian_pred is None:
             return None
-        img = frame.img[0] * 0.5 + 0.5  # un-normalize (ImgNorm inverse)
-        img = jnp.clip(img, 0.0, 1.0)
         preds = [frame.gaussian_pred]
         if self.include_cross and frame.gaussian_pred_cross is not None:
             preds.append(frame.gaussian_pred_cross)
-        outs = []
-        for pred in preds:
-            outs.append(
-                gaussians_to_world_masked(
-                    pred["means"][0], pred["scales"][0],
-                    pred["rotations"][0], pred["sh"][0],
-                    pred["opacities"][0], pred["conf"][0], img, frame.T_WC,
-                    **self.kw,
-                )
-            )
-        means = jnp.concatenate([o[0] for o in outs])
-        cov = jnp.concatenate([o[1] for o in outs])
-        col = jnp.concatenate([o[2] for o in outs])
-        opa = jnp.concatenate([o[3] for o in outs])
-        return means, cov, col, opa
+        return _gaussians_to_world_jit(
+            tuple(
+                (p["means"][0], p["scales"][0], p["rotations"][0],
+                 p["sh"][0], p["opacities"][0], p["conf"][0])
+                for p in preds
+            ),
+            frame.img, frame.T_WC,
+            tuple(sorted(self.kw.items())),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("kw_items",))
+def _gaussians_to_world_jit(preds, img_norm, T_WC, kw_items):
+    kw = dict(kw_items)
+    img = jnp.clip(img_norm[0] * 0.5 + 0.5, 0.0, 1.0)  # ImgNorm inverse
+    outs = [
+        gaussians_to_world_masked(m, s, r, sh, o, c, img, T_WC, **kw)
+        for (m, s, r, sh, o, c) in preds
+    ]
+    return tuple(
+        jnp.concatenate([o[k] for o in outs]) for k in range(4)
+    )

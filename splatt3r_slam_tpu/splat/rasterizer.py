@@ -294,6 +294,62 @@ def render_tiles(
     return img.reshape(H, W, 3)
 
 
+@functools.partial(jax.jit, static_argnames=("hw", "g_chunk"))
+def render_bruteforce_scan(means, cov_triu, colors, opa, view, K, hw,
+                           bg=None, g_chunk: int = 2048):
+    """Exact compositing oracle at scale: identical math to
+    `render_bruteforce` (global depth sort, every gaussian against every
+    pixel — no k_max cap, no tile-coverage crop) but scanned over
+    depth-ordered gaussian chunks so memory is O(g_chunk · P) instead of
+    O(G · P). Used by the fidelity sweep
+    (`scripts/sweep_rasterizer_fidelity.py`)."""
+    H, W = hw
+    P = H * W
+    if bg is None:
+        bg = jnp.zeros(3)
+    means2d, conic, depth, radius, ok = project_gaussians(
+        means, cov_triu, opa, view, K, hw
+    )
+    order = jnp.argsort(jnp.where(ok, depth, jnp.inf))
+    G = means.shape[0]
+    Gpad = -(-G // g_chunk) * g_chunk
+    pad = Gpad - G
+
+    def padg(a):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+    att = jnp.concatenate(
+        [means2d[order], conic[order], jnp.asarray(colors)[order],
+         jnp.where(ok, jnp.asarray(opa, jnp.float32), 0.0)[order][:, None]],
+        axis=-1,
+    )  # (G, 9): u v ca cb cc r g b opa
+    att = padg(att).reshape(Gpad // g_chunk, g_chunk, 9)
+
+    xx, yy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                          jnp.arange(H, dtype=jnp.float32), indexing="xy")
+    pix = jnp.stack([xx, yy], -1).reshape(-1, 2) + 0.5  # (P, 2)
+
+    def step(carry, rows):
+        rgb, trans = carry  # (P, 3), (P,)
+        du = pix[None, :, 0] - rows[:, 0:1]  # (Gc, P)
+        dv = pix[None, :, 1] - rows[:, 1:2]
+        power = -0.5 * (rows[:, 2:3] * du * du + rows[:, 4:5] * dv * dv) \
+            - rows[:, 3:4] * du * dv
+        alpha = jnp.minimum(0.99, rows[:, 8:9] * jnp.exp(power))
+        alpha = jnp.where(alpha < 1.0 / 255.0, 0.0, alpha)
+        one_m = 1.0 - alpha
+        ti = jnp.cumprod(one_m, axis=0)  # (Gc, P) within-chunk inclusive
+        w = alpha * (ti / one_m) * trans[None, :]
+        rgb = rgb + jnp.einsum("gp,gc->pc", w, rows[:, 5:8])
+        return (rgb, trans * ti[-1]), None
+
+    (rgb, trans), _ = jax.lax.scan(
+        step, (jnp.zeros((P, 3)), jnp.ones((P,))), att
+    )
+    rgb = rgb + trans[:, None] * bg[None, :]
+    return rgb.reshape(H, W, 3)
+
+
 def render_bruteforce(means, cov_triu, colors, opa, view, K, hw, bg=None):
     """O(G·P) reference renderer (tests/small scenes only): exact global
     depth-sorted alpha compositing over every pixel."""

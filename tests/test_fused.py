@@ -97,6 +97,35 @@ def test_fused_match_stride_2_runs(setup):
         cfgmod.config["matching"]["match_stride"] = old
 
 
+def test_pipeline_lag_mode(setup):
+    """pipeline_lag=1: flags consumed one frame late. The loop must
+    complete, keep finite poses, and produce a near-identical keyframe
+    set (decisions shift by at most one frame)."""
+    engine, h, w = setup
+    imgs = _frames(h, w, n=6)
+
+    def run(lag):
+        old = cfgmod.config["tracking"].get("pipeline_lag", 0)
+        cfgmod.config["tracking"]["pipeline_lag"] = lag
+        try:
+            sysm = SLAMSystem(engine, h, w, fused=True)
+            poses = []
+            for i, img in enumerate(imgs):
+                f = create_frame(i, img, img_size=w)
+                sysm.process_frame(f)
+                assert np.isfinite(np.asarray(f.T_WC)).all()
+                poses.append(np.asarray(f.T_WC))
+            return np.stack(poses), len(sysm.keyframes)
+        finally:
+            cfgmod.config["tracking"]["pipeline_lag"] = old
+
+    p0, k0 = run(0)
+    p1, k1 = run(1)
+    assert abs(k0 - k1) <= 2, (k0, k1)
+    # early frames (before any keyframe decision diverges) match exactly
+    np.testing.assert_allclose(p1[0], p0[0], atol=1e-5)
+
+
 def test_unique_match_count_exact():
     """Pins the keyframe-selection unique count to the reference's
     torch.unique semantics (tracker.py:104-110), including the case
