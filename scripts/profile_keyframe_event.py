@@ -92,7 +92,12 @@ def main():
     engine = InferenceEngine(model, params, h, w)
 
     system = SLAMSystem(engine, h, w)
-    retrieval = RetrievalDatabase()
+    if args.tiny:
+        retrieval = RetrievalDatabase(feat_dim=cfg.enc_embed_dim,
+                                      proj_dim=cfg.enc_embed_dim,
+                                      n_words=1024, nfeat=64)
+    else:
+        retrieval = RetrievalDatabase()
     system.backend = FactorGraph(engine, system.keyframes,
                                  retrieval=retrieval)
     system.gaussian_module = GaussianAccumulator(spatial_stride=4)
@@ -113,8 +118,15 @@ def main():
         f = create_frame(i, img, img_size=w)
         frames.append(f)
         system.process_frame(f, force_keyframe=(i > 0))
-        if system.mode == Mode.RELOC:
-            system.mode = Mode.TRACKING  # random weights: ignore reloc
+        if system.mode == Mode.RELOC and i > 0:
+            # random weights: GN fails -> RELOC skips the keyframe
+            # branch; run the event path explicitly (as bench_system's
+            # cadence mode does) so the graph still grows
+            system.mode = Mode.TRACKING
+            system.keyframes.append(f)
+            system._dispatch_backend(len(system.keyframes) - 1)
+            system._append_gaussians(f, len(system.keyframes) - 1)
+            system.keyframes.release_older_transients()
     print(f"built {len(system.keyframes)} keyframes, "
           f"{len(system.backend.ii)} edges", flush=True)
 

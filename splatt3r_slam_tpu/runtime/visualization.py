@@ -88,12 +88,19 @@ class Viewer:
     """GS viewer: interactive (cv2 window) or headless (PNG/MP4 sink)."""
 
     def __init__(self, system, hw=(384, 512), headless=True,
-                 out_dir="logs/viz", vfov=60.0, rasterizer="xla",
+                 out_dir="logs/viz", vfov=60.0, rasterizer="auto",
                  k_max=512):
-        # rasterizer: "xla" (fast, k_max-capped tiles) or "pallas" (exact;
-        # benchmarked in scripts/bench_rasterizer.py); k_max matches the
-        # render path's default (splat/decoder.py) so the viewer shows
-        # what the exported renders show
+        # rasterizer: "auto" (pallas on TPU, xla elsewhere), "xla", or
+        # "pallas" — both share bin_tiles, benchmarked in
+        # scripts/bench_rasterizer.py; k_max matches the render path's
+        # default (splat/decoder.py) so the viewer shows what the
+        # exported renders show
+        if rasterizer == "auto":
+            from splatt3r_slam_tpu.splat.rasterizer import (
+                default_rasterizer,
+            )
+
+            rasterizer = default_rasterizer()
         self.rasterizer = rasterizer
         self.k_max = int(k_max)
         self.system = system

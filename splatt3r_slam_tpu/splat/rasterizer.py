@@ -39,6 +39,18 @@ import numpy as np
 TILE = 16
 
 
+def default_rasterizer() -> str:
+    """Production compositor choice: 'pallas' on TPU (wins at every
+    production gaussian count — 28/58/292 ms vs XLA's 39/63/303 ms at
+    0.4/1/4M, logs/bench_rasterizer_tpu_v5e.json), 'xla' elsewhere
+    (Mosaic kernels need a TPU; CPU tests/dryruns use the XLA
+    compositor). The trainer always uses the XLA path: the Pallas
+    kernel has no VJP and the render loss needs gradients."""
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def project_gaussians(means, cov_triu, opa, view, K, hw, near=0.01,
                       blur=0.3):
     """World gaussians → screen-space (means2d, conic, depth, radius, ok).

@@ -21,6 +21,7 @@ from splatt3r_slam_tpu.splat.gaussians import (
 )
 from splatt3r_slam_tpu.splat.rasterizer import (
     render_bruteforce,
+    render_bruteforce_scan,
     render_tiles,
 )
 
@@ -96,6 +97,34 @@ def test_tiles_match_bruteforce(rng):
                                 k_max=256))
     b = np.asarray(render_bruteforce(means, covt, colors, opa, VIEW, K, HW))
     np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_production_caps_fidelity_floor(rng):
+    """Pin the fidelity-sweep conclusion (PARITY.md round 2): at the
+    production caps tpg_side=4 / k_max=512 the tile renderer must stay
+    essentially exact even when per-tile load exceeds the cap.
+
+    Dense scene: 12k gaussians over a 4x4-tile image (~750/tile, well
+    past k_max) vs the exact compositing oracle. Also asserts the
+    oracle is SENSITIVE: a starved cap (k_max=32) must degrade, so a
+    future regression in the cap logic cannot hide behind a blind test.
+    """
+    means, covt, colors, opa = _scene(rng, G=12_000, spread=1.5)
+    exact = np.asarray(
+        render_bruteforce_scan(means, covt, colors, opa, VIEW, K, HW))
+
+    def psnr_vs_exact(k_max):
+        img = np.asarray(render_tiles(means, covt, colors, opa, VIEW, K, HW,
+                                      tpg_side=4, k_max=k_max))
+        mse = float(np.mean((img - exact) ** 2))
+        return 99.0 if mse < 1e-12 else float(10 * np.log10(1.0 / mse))
+
+    prod = psnr_vs_exact(512)
+    starved = psnr_vs_exact(32)
+    assert prod >= 45.0, f"production-cap PSNR floor broken: {prod:.1f} dB"
+    assert starved < prod - 3.0, (
+        f"fidelity oracle lost sensitivity: k_max=32 {starved:.1f} dB vs "
+        f"k_max=512 {prod:.1f} dB")
 
 
 def test_depth_ordering_occlusion():
