@@ -154,7 +154,10 @@ def main():
         t0 = time.time()
         try:
             for i in range(nloc):
+                tg0 = time.time()
                 frame = prefetch.get(i)
+                if collect is not None:
+                    get_waits.append(time.time() - tg0)
                 tf0 = time.time()
                 force = bool(args.cadence) and i > 0 and \
                     i % args.cadence == 0
@@ -188,23 +191,30 @@ def main():
                     collect.append((time.time() - tf0, force))
         finally:
             prefetch.close()
+        td0 = time.time()
         if not bool(cfgmod.config.get("single_thread", True)):
             sysm._drain_backend()
             sysm._stop = True
+        drain_s[0] = time.time() - td0
         dt = time.time() - t0
         return nloc / dt, relocs
 
     # warmup: pays all compiles; freed before the timed run (its gaussian
-    # pool + keyframes would otherwise occupy HBM alongside the real run)
+    # pool + keyframes would otherwise occupy HBM alongside the real run).
+    # In cadence mode the warmup drives the FULL length: bucket sizes
+    # (edge lists, pool chunks, dense-solve dims) grow with keyframe
+    # count, and any bucket first reached mid-timed-run would charge its
+    # multi-second tunnel compile to steady-state FPS.
     import gc
 
     warm = build_system()
-    n_warm = max(6, args.cadence + 2) if args.cadence else 6
+    n_warm = n if args.cadence else 6
+    get_waits, drain_s = [], [0.0]
     drive(warm, SyntheticDataset(n_warm, h, w))
     del warm
     gc.collect()
 
-    times = []
+    times, get_waits, drain_s = [], [], [0.0]
     fps, relocs = drive(system, ds, collect=times)
     out = {
         "metric": "system_fps_512x384" if not args.tiny else "system_fps_tiny",
@@ -238,6 +248,22 @@ def main():
             "fps_p50_with_renders": round(
                 1.0 / max(float(np.median(track_t)), 1e-9), 2)
             if track_t else None,
+            # steady-state cycle: (cadence-1) tracked frames + 1 keyframe
+            # event, p50 costs (robust to one-off compile outliers)
+            "fps_effective_p50": round(args.cadence / max(
+                (args.cadence - 1) * float(np.median(track_t))
+                + float(np.median(kf_t)), 1e-9), 2)
+            if track_t and kf_t else None,
+            "t_get_wait_p50_ms": round(
+                1e3 * float(np.median(get_waits)), 1) if get_waits else None,
+            "t_get_wait_sum_s": round(float(np.sum(get_waits)), 2)
+            if get_waits else None,
+            "t_drain_s": round(drain_s[0], 2),
+            "outlier_frames": [
+                [int(i), round(1e3 * t, 1)]
+                for i, (t, _) in enumerate(times) if t > 1.0
+            ],
+            "frame_ms": [round(1e3 * t, 1) for t, _ in times],
         })
     print(json.dumps(out))
 

@@ -86,10 +86,16 @@ class MatchingParams(NamedTuple):
         return cls(**kw)
 
 
+_STEP_CACHE: dict = {}
+
+
 def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
                           mcfg: MatchingParams, head_mode: str = "tracking",
                           use_calib: bool = False):
-    """Build the jitted fused step.
+    """Build the jitted fused step (memoized: flax modules hash by their
+    config fields, so a rebuilt FusedTracker with identical settings
+    reuses the traced+compiled program — retracing the full two-view
+    forward costs seconds per system construction otherwise).
 
     step(params, img, kf: KFState, T_WCf_init, idx_init, K=None) →
         (outputs dict, flags (4,) [match_frac, new_kf, fail, match_frac_k])
@@ -106,6 +112,11 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
     intrinsics K. The matching subgrid's true pixel coordinates
     (stride·grid) keep K consistent at any match_stride.
     """
+
+    cache_key = (model, h, w, tcfg, mcfg, head_mode, use_calib)
+    cached = _STEP_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
 
     from splatt3r_slam_tpu.geometry.projective import (
         backproject,
@@ -252,6 +263,7 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
             out["Ckf"] = Ckf
         return out, flags
 
+    _STEP_CACHE[cache_key] = step
     return step
 
 
