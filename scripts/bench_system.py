@@ -130,6 +130,7 @@ def main():
     system = build_system()
 
     from splatt3r_slam_tpu.runtime.frame import Mode, create_frame
+    from splatt3r_slam_tpu.runtime.system import should_append_gaussians
 
     n = args.frames
     ds = SyntheticDataset(n, h, w)
@@ -177,6 +178,14 @@ def main():
                             sysm._append_gaussians(
                                 frame, len(sysm.keyframes) - 1)
                             sysm.keyframes.release_older_transients()
+                        elif should_append_gaussians(
+                                frame, False, sysm.last_gs_frame_id,
+                                sysm.last_gs_T_WC):
+                            # production policy appends gaussians every
+                            # ~min_frame_gap tracked frames too
+                            # (main.py:457-476) — measure that cost
+                            sysm._append_gaussians(
+                                frame, len(sysm.keyframes) - 1)
                     else:
                         sysm.mode = Mode.INIT
                         sysm.process_frame(frame)

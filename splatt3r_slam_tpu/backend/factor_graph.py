@@ -14,7 +14,10 @@ reduction per add_factors call.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from splatt3r_slam_tpu.config import config
@@ -28,6 +31,32 @@ def _bucket(n: int, buckets=(8, 16, 32, 64, 128, 256, 512, 1024, 2048)) -> int:
         if n <= b:
             return b
     return buckets[-1]
+
+
+@jax.jit
+def _edge_gate_jit(idx_i2j, idx_j2i, valid_j, valid_i, Qii, Qjj, Qji, Qij,
+                   Q_conf):
+    """Post-match edge gating as ONE device program.
+
+    Eagerly this is ~20 dispatch round-trips per add_factors call
+    (gathers, sqrt, compares, means, per-edge slices — ~70 ms measured
+    on a remote-TPU platform). Returns per-edge tuples (unstacked inside
+    the jit: a single dispatch hands back E small arrays) plus the
+    stacked (2, E) match fractions for the single host pull."""
+    E = idx_i2j.shape[0]
+    bidx = jnp.arange(E)[:, None]
+    # Qj = sqrt(Qii[idx_i2j]·Qji); Qi = sqrt(Qjj[idx_j2i]·Qij)
+    Qj = jnp.sqrt(Qii[bidx, idx_i2j] * Qji)
+    Qi = jnp.sqrt(Qjj[bidx, idx_j2i] * Qij)
+    vj = valid_j & (Qj > Q_conf)
+    vi = valid_i & (Qi > Q_conf)
+    frac = jnp.stack([vj.mean(axis=(1, 2)), vi.mean(axis=(1, 2))])
+    return (
+        tuple(idx_i2j), tuple(idx_j2i),
+        tuple(valid_j[:, :, 0]), tuple(valid_i[:, :, 0]),
+        tuple(Qj[:, :, 0]), tuple(Qi[:, :, 0]),
+        frac,
+    )
 
 
 class FactorGraph:
@@ -69,17 +98,13 @@ class FactorGraph:
         (idx_i2j, idx_j2i, valid_j, valid_i, Qii, Qjj, Qji, Qij
          ) = self.engine.match_symmetric(feat_i, pos_i, feat_j, pos_j)
 
-        E = idx_i2j.shape[0]
-        # Qj = sqrt(Qii[idx_i2j]·Qji); Qi = sqrt(Qjj[idx_j2i]·Qij)
-        bidx = jnp.arange(E)[:, None]
-        Qj = jnp.sqrt(Qii[bidx, idx_i2j] * Qji)
-        Qi = jnp.sqrt(Qjj[bidx, idx_j2i] * Qij)
-
-        Q_conf = float(self.cfg["Q_conf"])
-        vj = valid_j & (Qj > Q_conf)
-        vi = valid_i & (Qi > Q_conf)
-        frac_j = np.asarray(vj.mean(axis=(1, 2)))
-        frac_i = np.asarray(vi.mean(axis=(1, 2)))
+        (idx_i2j_t, idx_j2i_t, valid_j_t, valid_i_t, Qj_t, Qi_t, frac
+         ) = _edge_gate_jit(
+            idx_i2j, idx_j2i, valid_j, valid_i, Qii, Qjj, Qji, Qij,
+            jnp.float32(self.cfg["Q_conf"]),
+        )
+        frac = np.asarray(frac)  # the one host pull
+        frac_j, frac_i = frac[0], frac[1]
 
         ii_np = np.asarray(ii, np.int64)
         jj_np = np.asarray(jj, np.int64)
@@ -94,12 +119,12 @@ class FactorGraph:
         for k in np.nonzero(keep)[0]:
             self.ii.append(int(ii_np[k]))
             self.jj.append(int(jj_np[k]))
-            self.idx_ii2jj.append(jnp.asarray(idx_i2j[k]))
-            self.idx_jj2ii.append(jnp.asarray(idx_j2i[k]))
-            self.valid_match_j.append(jnp.asarray(valid_j[k, :, 0]))
-            self.valid_match_i.append(jnp.asarray(valid_i[k, :, 0]))
-            self.Q_ii2jj.append(jnp.asarray(Qj[k, :, 0]))
-            self.Q_jj2ii.append(jnp.asarray(Qi[k, :, 0]))
+            self.idx_ii2jj.append(idx_i2j_t[k])
+            self.idx_jj2ii.append(idx_j2i_t[k])
+            self.valid_match_j.append(valid_j_t[k])
+            self.valid_match_i.append(valid_i_t[k])
+            self.Q_ii2jj.append(Qj_t[k])
+            self.Q_jj2ii.append(Qi_t[k])
             added = True
         self._enforce_max_edges()
         return added
@@ -178,6 +203,21 @@ class FactorGraph:
                 jnp.asarray(padh(jj)), idx_t, valid_t, Q_t,
                 jnp.asarray(on))
 
+    def _stride_params(self):
+        """(sub_stride, sub_hw, pix_stride) for the staged solves.
+
+        The edge state is built on the matching subgrid
+        (`matching.match_stride`, see InferenceEngine.match_symmetric);
+        the solver subgrids its keyframe pointmaps to the same grid and
+        the configured `gn_stride` (full-res row subsampling semantics)
+        is divided by the rows the subgrid already removed."""
+        s = max(1, int(config["matching"].get("match_stride", 1)))
+        ds = int(config.get("dataset", {}).get("img_downsample", 1))
+        sub_hw = (self.frames.h // ds, self.frames.w // ds)
+        gn = int(self.cfg.get("gn_stride", 1))
+        pix_stride = max(1, gn // (s * s))
+        return s, sub_hw, pix_stride
+
     def solve_GN_rays(self):
         """(spec: global_opt.py:121-158)"""
         pin = int(self.cfg["pin"])
@@ -186,6 +226,7 @@ class FactorGraph:
             return
         (m, Twc_t, Xs_t, Cs_t, Ns, ii, jj, idx_t, valid_t, Q_t,
          on) = self._staged_inputs(unique_kf)
+        sub_stride, sub_hw, pix_stride = self._stride_params()
 
         Twc_new = pose_graph.gauss_newton_rays_staged(
             Twc_t, Xs_t, Cs_t, Ns, ii, jj, idx_t, valid_t, Q_t, on,
@@ -196,7 +237,8 @@ class FactorGraph:
             C_thresh=float(self.cfg["C_conf"]),
             Q_thresh=float(self.cfg["Q_conf"]),
             delta_thresh=float(self.cfg["delta_norm"]),
-            pix_stride=int(self.cfg.get("gn_stride", 1)),
+            pix_stride=pix_stride,
+            sub_stride=sub_stride, sub_hw=sub_hw,
         )
         self.frames.update_T_WCs(Twc_new[pin:len(unique_kf)],
                                  unique_kf[pin:])
@@ -212,6 +254,7 @@ class FactorGraph:
         )
         (m, Twc_t, Xs_t, Cs_t, Ns, ii, jj, idx_t, valid_t, Q_t,
          on) = self._staged_inputs(unique_kf)
+        sub_stride, sub_hw, pix_stride = self._stride_params()
 
         Twc_new = pose_graph.gauss_newton_calib_staged(
             Twc_t, Xs_t, Cs_t, Ns, self.K, ii, jj, idx_t, valid_t, Q_t,
@@ -225,7 +268,8 @@ class FactorGraph:
             C_thresh=float(self.cfg["C_conf"]),
             Q_thresh=float(self.cfg["Q_conf"]),
             delta_thresh=float(self.cfg["delta_norm"]),
-            pix_stride=int(self.cfg.get("gn_stride", 1)),
+            pix_stride=pix_stride,
+            sub_stride=sub_stride, sub_hw=sub_hw,
         )
         self.frames.update_T_WCs(Twc_new[pin:len(unique_kf)],
                                  unique_kf[pin:])

@@ -399,18 +399,38 @@ def _stack_conf(Cs_t, Ns):
     return Cs / jnp.asarray(Ns, jnp.float32)[:, None, None]
 
 
+def _subgrid(Xs, sub_stride: int, sub_hw):
+    """(m, N, c) per-keyframe rows → (m, N/s², c) subgrid rows, when the
+    edge state was built by stride-s matching (idx values then address
+    subgrid pixels of view i, and residual rows are subgrid queries of
+    view j — both sides of the gather must shrink together)."""
+    if sub_stride <= 1:
+        return Xs
+    h, w = sub_hw
+    m, _, c = Xs.shape
+    Xs = Xs.reshape(m, h, w, c)[:, ::sub_stride, ::sub_stride]
+    return Xs.reshape(m, -1, c)
+
+
+def _stack_sub(Xs_t, sub_stride: int, sub_hw):
+    return _subgrid(jnp.stack(Xs_t), sub_stride, sub_hw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_fix", "max_iter", "sigma_ray", "sigma_dist",
-                     "C_thresh", "Q_thresh", "delta_thresh", "pix_stride"),
+                     "C_thresh", "Q_thresh", "delta_thresh", "pix_stride",
+                     "sub_stride", "sub_hw"),
 )
 def gauss_newton_rays_staged(
     Twc_t, Xs_t, Cs_t, Ns, ii, jj, idx_t, valid_t, Q_t, edge_on,
     num_fix=1, max_iter=10, sigma_ray=0.003, sigma_dist=10.0,
     C_thresh=0.0, Q_thresh=1.5, delta_thresh=1e-8, pix_stride=1,
+    sub_stride=1, sub_hw=None,
 ):
     return gauss_newton_rays(
-        jnp.stack(Twc_t), jnp.stack(Xs_t), _stack_conf(Cs_t, Ns),
+        jnp.stack(Twc_t), _stack_sub(Xs_t, sub_stride, sub_hw),
+        _subgrid(_stack_conf(Cs_t, Ns), sub_stride, sub_hw),
         ii, jj, jnp.stack(idx_t), jnp.stack(valid_t),
         jnp.stack(Q_t).astype(jnp.float32), edge_on,
         num_fix=num_fix, max_iter=max_iter, sigma_ray=sigma_ray,
@@ -423,21 +443,26 @@ def gauss_newton_rays_staged(
     jax.jit,
     static_argnames=("img_size", "num_fix", "max_iter", "pixel_border",
                      "z_eps", "sigma_pixel", "sigma_depth", "C_thresh",
-                     "Q_thresh", "delta_thresh", "pix_stride"),
+                     "Q_thresh", "delta_thresh", "pix_stride",
+                     "sub_stride", "sub_hw"),
 )
 def gauss_newton_calib_staged(
     Twc_t, Xs_t, Cs_t, Ns, K, ii, jj, idx_t, valid_t, Q_t, edge_on,
     img_size, num_fix=1, max_iter=10, pixel_border=-10.0, z_eps=1e-6,
     sigma_pixel=1.0, sigma_depth=10.0, C_thresh=0.0, Q_thresh=1.5,
-    delta_thresh=1e-8, pix_stride=1,
+    delta_thresh=1e-8, pix_stride=1, sub_stride=1, sub_hw=None,
 ):
     from splatt3r_slam_tpu.geometry.projective import (
         constrain_points_to_ray,
     )
 
-    Xs = constrain_points_to_ray(img_size, jnp.stack(Xs_t), K)
+    # ray-constrain at FULL resolution (each point's own pixel ray),
+    # then take the subgrid view the stride-s edge state indexes into
+    Xs = _subgrid(constrain_points_to_ray(img_size, jnp.stack(Xs_t), K),
+                  sub_stride, sub_hw)
     return gauss_newton_calib(
-        jnp.stack(Twc_t), Xs, _stack_conf(Cs_t, Ns), K,
+        jnp.stack(Twc_t), Xs,
+        _subgrid(_stack_conf(Cs_t, Ns), sub_stride, sub_hw), K,
         ii, jj, jnp.stack(idx_t), jnp.stack(valid_t),
         jnp.stack(Q_t).astype(jnp.float32), edge_on, img_size,
         num_fix=num_fix, max_iter=max_iter, pixel_border=pixel_border,

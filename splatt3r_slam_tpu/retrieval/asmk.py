@@ -180,16 +180,59 @@ def aggregate_binary(vecs: np.ndarray, word_ids: np.ndarray,
     vecs repeated ma times. Returns (words (w,), bits (w, D) uint8 packed
     along D/8).
     """
-    D = vecs.shape[1]
     order = np.argsort(word_ids, kind="stable")
     w_sorted = word_ids[order]
     v_sorted = vecs[order]
     c_sorted = centroids[w_sorted]
     resid = v_sorted - c_sorted
     words, starts = np.unique(w_sorted, return_index=True)
-    sums = np.add.reduceat(resid, starts, axis=0)
+    # segment sums as cumsum differences — np.add.reduceat is scalar-slow
+    # (~32 ms on the (1500, 1024) query aggregate vs ~2 ms this way)
+    cs = np.cumsum(resid, axis=0)
+    ends = np.concatenate([starts[1:], [resid.shape[0]]])
+    sums = cs[ends - 1].copy()
+    nz = starts > 0
+    sums[nz] -= cs[starts[nz] - 1]
     bits = np.packbits((sums > 0).astype(np.uint8), axis=1)
     return words.astype(np.int64), bits
+
+
+def _pack_bits_jax(bools: jnp.ndarray) -> jnp.ndarray:
+    """(..., D) bool → (..., D/8) uint8 in np.packbits 'big' bit order."""
+    x = bools.astype(jnp.uint8).reshape(*bools.shape[:-1], -1, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return (x * weights).sum(-1).astype(jnp.uint8)
+
+
+def aggregate_binary_jax(vecs: jnp.ndarray, words: jnp.ndarray,
+                         centroids: jnp.ndarray):
+    """Device-side aggregate_binary (jit-composable).
+
+    vecs (n, D) f32; words (n, ma) int; centroids device (K, D).
+    Returns (words (N,) int32, bits (N, D/32) int32 [byte-packed sign
+    bits, little-endian within each int32], valid (N,) bool) with
+    N = n·ma fixed rows; segment sums occupy the leading `valid` rows in
+    ascending word order — identical content to the host
+    `aggregate_binary` after filtering by `valid`."""
+    n, ma = words.shape
+    D = vecs.shape[1]
+    v = jnp.repeat(vecs, ma, axis=0)  # (N, D)
+    w = words.reshape(-1)
+    order = jnp.argsort(w, stable=True)
+    ws = w[order]
+    resid = v[order] - centroids[ws]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), ws[1:] != ws[:-1]])
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    N = ws.shape[0]
+    sums = jax.ops.segment_sum(resid, seg, num_segments=N)
+    words_out = jax.ops.segment_max(ws.astype(jnp.int32), seg,
+                                    num_segments=N)
+    valid = jnp.arange(N) < seg[-1] + 1
+    bits = _pack_bits_jax(sums > 0)  # (N, D/8) uint8
+    bits_i32 = jax.lax.bitcast_convert_type(
+        bits.reshape(N, D // 32, 4), jnp.int32)
+    return words_out, bits_i32, valid
 
 
 _POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
@@ -215,29 +258,52 @@ class IVF:
     def __init__(self, n_words: int, dim: int):
         self.n_words = n_words
         self.dim = dim
-        self.word_ids: dict[int, list] = {}
-        self.word_bits: dict[int, list] = {}
+        # pending per-add chunks, consolidated lazily into word-sorted
+        # flat posting arrays (CSR-style) at the next search: the whole
+        # query then runs as a handful of vectorized numpy ops instead of
+        # a Python loop over query words (~0.2 ms x ~1500 words measured)
+        self._pending: list[tuple[np.ndarray, np.ndarray, int]] = []
+        self._words = np.zeros((0,), np.int64)  # sorted
+        self._bits = np.zeros((0, dim // 8), np.uint8)
+        self._imids = np.zeros((0,), np.int64)
         self.n_images = 0
         self.image_norms: list[float] = []  # per-image Σ self-sim = n_words
 
     def add(self, words: np.ndarray, bits: np.ndarray, imid: int):
-        for w, b in zip(words, bits):
-            self.word_ids.setdefault(int(w), []).append(imid)
-            self.word_bits.setdefault(int(w), []).append(b)
+        self._pending.append((np.asarray(words, np.int64),
+                              np.asarray(bits, np.uint8), int(imid)))
         self.image_norms.append(max(len(words), 1))
         self.n_images = max(self.n_images, imid + 1)
+
+    def _consolidate(self):
+        if not self._pending:
+            return
+        w = np.concatenate([self._words] + [p[0] for p in self._pending])
+        b = np.concatenate([self._bits] + [p[1] for p in self._pending])
+        i = np.concatenate(
+            [self._imids]
+            + [np.full(len(p[0]), p[2], np.int64) for p in self._pending]
+        )
+        order = np.argsort(w, kind="stable")
+        self._words, self._bits, self._imids = w[order], b[order], i[order]
+        self._pending = []
 
     def search(self, words: np.ndarray, bits: np.ndarray, alpha=3.0,
                threshold=0.0):
         """Scores against every stored image (ASMK normalized)."""
+        self._consolidate()
         scores = np.zeros(self.n_images, np.float64)
-        for w, qb in zip(words, bits):
-            ids = self.word_ids.get(int(w))
-            if not ids:
-                continue
-            db = np.stack(self.word_bits[int(w)])
-            s = binary_similarity(qb[None], db, self.dim, alpha, threshold)
-            np.add.at(scores, np.asarray(ids), s)
+        lo = np.searchsorted(self._words, words, side="left")
+        hi = np.searchsorted(self._words, words, side="right")
+        lens = hi - lo
+        total = int(lens.sum())
+        if total:
+            shift = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            sel = np.arange(total) + np.repeat(lo - shift, lens)
+            qsel = np.repeat(np.arange(len(words)), lens)
+            s = binary_similarity(bits[qsel], self._bits[sel], self.dim,
+                                  alpha, threshold)
+            np.add.at(scores, self._imids[sel], s)
         qn = np.sqrt(max(len(words), 1))
         xn = np.sqrt(np.asarray(self.image_norms[: self.n_images]))
         return scores / (qn * xn)

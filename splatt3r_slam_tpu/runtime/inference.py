@@ -60,27 +60,39 @@ class InferenceEngine:
 
         use_offsets = getattr(model.cfg, "use_offsets", False)
 
+        def _comb(g, X, C):
+            from splatt3r_slam_tpu.models.heads import combine_gaussians
+
+            pts = X.reshape(1, h, w, 3)
+            conf = C.reshape(1, h, w)
+            return combine_gaussians(g, pts, conf, use_offsets)
+
         @jax.jit
         def _gauss_from_hooks(params, d1, d2, X1, C1, X2, C2):
             """Materialize Gaussian predictions from kept decoder hooks
             (tracking-mode frontend skipped the gaussian DPTs)."""
-            from splatt3r_slam_tpu.models.heads import combine_gaussians
-
             g1 = model.apply({"params": params}, 1, d1, (h, w),
                              "gaussian_only", method=model.apply_head)
             g2 = model.apply({"params": params}, 2, d2, (h, w),
                              "gaussian_only", method=model.apply_head)
+            return _comb(g1, X1, C1), _comb(g2, X2, C2)
 
-            def comb(g, X, C):
-                pts = X.reshape(1, h, w, 3)
-                conf = C.reshape(1, h, w)
-                return combine_gaussians(g, pts, conf, use_offsets)
+        @functools.partial(jax.jit, static_argnames=("head_idx",))
+        def _gauss_from_hooks_one(params, d, X, C, head_idx):
+            """One view's Gaussian materialization — half the DPT cost.
 
-            return comb(g1, X1, C1), comb(g2, X2, C2)
+            The SLAM append path only consumes the self-view prediction
+            (reference `main.py:469-476` passes include_cross=False);
+            running both gaussian DPTs there doubles a per-append cost
+            that lands on the tracking critical path."""
+            g = model.apply({"params": params}, head_idx, d, (h, w),
+                            "gaussian_only", method=model.apply_head)
+            return _comb(g, X, C)
 
         self._encode = _encode
         self._decode = _decode
         self._gauss_from_hooks = _gauss_from_hooks
+        self._gauss_from_hooks_one = _gauss_from_hooks_one
 
     # -- feature caching ----------------------------------------------------
 
@@ -88,18 +100,31 @@ class InferenceEngine:
         if frame.feat is None:
             frame.feat, frame.pos = self._encode(self.params, frame.img)
 
-    def ensure_gaussians(self, frame: Frame):
+    def ensure_gaussians(self, frame: Frame, need_cross: bool = True):
         """Materialize frame.gaussian_pred(_cross) from kept hook tokens
-        (no-op when the frontend already ran the full heads)."""
-        if frame.gaussian_pred is not None or frame.gauss_hooks is None:
+        (no-op when the frontend already ran the full heads).
+
+        need_cross=False materializes only the self-view prediction (the
+        append path's `include_cross=False` semantics, main.py:469-476);
+        a later call with need_cross=True fills in just the cross view."""
+        if frame.gauss_hooks is None:
             return
         hk = frame.gauss_hooks
-        gp, gc = self._gauss_from_hooks(
-            self.params, hk["d1"], hk["d2"],
-            hk["X1"], hk["C1"], hk["X2"], hk["C2"],
-        )
-        frame.gaussian_pred = gp
-        frame.gaussian_pred_cross = gc
+        if frame.gaussian_pred is None and need_cross:
+            gp, gc = self._gauss_from_hooks(
+                self.params, hk["d1"], hk["d2"],
+                hk["X1"], hk["C1"], hk["X2"], hk["C2"],
+            )
+            frame.gaussian_pred = gp
+            frame.gaussian_pred_cross = gc
+        elif frame.gaussian_pred is None:
+            frame.gaussian_pred = self._gauss_from_hooks_one(
+                self.params, hk["d1"], hk["X1"], hk["C1"], 1
+            )
+        elif need_cross and frame.gaussian_pred_cross is None:
+            frame.gaussian_pred_cross = self._gauss_from_hooks_one(
+                self.params, hk["d2"], hk["X2"], hk["C2"], 2
+            )
 
     # -- inference modes ----------------------------------------------------
 
@@ -200,7 +225,14 @@ class InferenceEngine:
         p2 = jnp.concatenate([pj, pi])
         r1, r2 = self.decoder(f1, p1, f2, p2)
 
+        # img_downsample composes with the TPU matching subgrid
+        # (matching.match_stride, same knob the fused tracker uses): the
+        # backend's edge matching, gating stats, and stored edge state
+        # all live on the (h/s, w/s) grid; the staged pose-graph solve
+        # subgrids its keyframe pointmaps to match (pose_graph._subgrid).
+        # match_stride=1 (the eval profile) is reference-exact.
         ds = config.get("dataset", {}).get("img_downsample", 1)
+        ds = ds * max(1, int(config["matching"].get("match_stride", 1)))
 
         def dsmap(a):
             return a[:, ::ds, ::ds] if ds > 1 else a

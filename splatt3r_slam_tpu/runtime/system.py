@@ -189,7 +189,11 @@ class SLAMSystem:
     def _append_gaussians(self, frame: Frame, kf_idx: int):
         if self.gaussian_module is None:
             return
-        self.engine.ensure_gaussians(frame)
+        # append consumes only the self-view prediction unless the
+        # accumulator opts into the cross view — half the DPT cost
+        self.engine.ensure_gaussians(
+            frame, need_cross=bool(self.gaussian_module.include_cross)
+        )
         out = self.gaussian_module.gaussians_to_world(frame)
         if out is None:
             return

@@ -158,12 +158,14 @@ class GaussianAccumulator:
     """Frame → world-space gaussian chunks for the pool.
 
     Mirrors the reference `gaussians_to_world` call sites (main.py:457-489):
-    converts self- and cross-predictions stored on the frame.
+    converts the self-prediction stored on the frame (the reference
+    passes include_cross=False at both SLAM append sites,
+    main.py:417/471; include_cross=True adds the cross view).
     """
 
     def __init__(self, spatial_stride: int = 4, depth_min: float = 0.05,
                  depth_max_percentile: float = 0.98, max_scale: float = 0.5,
-                 min_confidence: float = 1.5, include_cross: bool = True):
+                 min_confidence: float = 1.5, include_cross: bool = False):
         self.kw = dict(
             spatial_stride=spatial_stride,
             depth_min=depth_min,

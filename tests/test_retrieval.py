@@ -181,3 +181,29 @@ def test_codebook_load_plain_array(tmp_path, rng):
         pickle.dump(cent, f)
     cb = asmk_mod.Codebook.load(str(path))
     np.testing.assert_array_equal(cb.centroids, cent)
+
+
+def test_device_aggregate_matches_host():
+    """aggregate_binary_jax (device, packed int32 round-trip) produces
+    byte-identical words/bits to the host aggregate_binary."""
+    import jax.numpy as jnp
+
+    from splatt3r_slam_tpu.retrieval import asmk as asmk_mod
+
+    rng = np.random.default_rng(3)
+    n, ma, D = 64, 5, 128
+    vecs = rng.standard_normal((n, D)).astype(np.float32)
+    cents = rng.standard_normal((256, D)).astype(np.float32)
+    words = rng.integers(0, 256, (n, ma))
+
+    w_host, b_host = asmk_mod.aggregate_binary(
+        np.repeat(vecs, ma, axis=0), words.reshape(-1), cents)
+
+    w_dev, b_dev, valid = asmk_mod.aggregate_binary_jax(
+        jnp.asarray(vecs), jnp.asarray(words), jnp.asarray(cents))
+    valid = np.asarray(valid)
+    w_dev = np.asarray(w_dev)[valid]
+    b_dev = np.ascontiguousarray(np.asarray(b_dev)[valid]).view(np.uint8)
+
+    np.testing.assert_array_equal(w_dev, w_host)
+    np.testing.assert_array_equal(b_dev.reshape(b_host.shape), b_host)

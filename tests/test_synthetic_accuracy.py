@@ -141,6 +141,10 @@ class FakeEngine:
 
 
 def _run_slam(engine, poses):
+    # the FakeEngine's analytic matches are full-resolution; the backend's
+    # TPU subgrid path (matching.match_stride > 1) is covered by
+    # test_backend_subgrid_* below with a stride-aware oracle
+    cfgmod.config["matching"]["match_stride"] = 1
     sysm = SLAMSystem(engine, H, W, fused=False)
     sysm.backend = FactorGraph(engine, sysm.keyframes)
     rng = np.random.default_rng(0)
@@ -337,3 +341,61 @@ def test_calib_gn_recovers_pose_from_exact_pairs():
     np.testing.assert_allclose(sc, 1.0, atol=2e-3)
     np.testing.assert_allclose(T[:3, 3], Tf[:3, 3], atol=4e-3)
     np.testing.assert_allclose(T[:3, :3] / sc, Tf[:3, :3], atol=2e-3)
+
+
+# ---- tier 4: backend on the TPU matching subgrid --------------------------
+
+class SubgridFakeEngine(FakeEngine):
+    """FakeEngine whose match_symmetric honours matching.match_stride —
+    the real InferenceEngine.match_symmetric contract: edge idx/valid/Q
+    live on the (H/s, W/s) subgrid and the staged pose-graph solve
+    subgrids its keyframe pointmaps to match (pose_graph._subgrid)."""
+
+    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j):
+        out = super().match_symmetric(feat_i, pos_i, feat_j, pos_j)
+        s = int(cfgmod.config["matching"].get("match_stride", 1))
+        if s == 1:
+            return out
+        idx_i2j, idx_j2i, valid_j, valid_i, Qii, Qjj, Qji, Qij = out
+        Hs, Ws = H // s, W // s
+        qsel = (np.arange(H * W).reshape(H, W)[::s, ::s]).reshape(-1)
+
+        def sub_idx(idx):
+            a = np.asarray(idx)[:, qsel]
+            u, v = a % W, a // W
+            return jnp.asarray((v // s) * Ws + (u // s), jnp.int32)
+
+        def sub_rows(a):
+            return jnp.asarray(np.asarray(a)[:, qsel])
+
+        return (sub_idx(idx_i2j), sub_idx(idx_j2i),
+                sub_rows(valid_j), sub_rows(valid_i),
+                sub_rows(Qii), sub_rows(Qjj), sub_rows(Qji),
+                sub_rows(Qij))
+
+
+def test_backend_subgrid_matches_full_res_ate():
+    """match_stride=2 backend: subgrid-exact integer-pixel trajectory
+    (shifts divisible by the stride) recovers the same tight ATE as the
+    full-resolution edge state."""
+    cfgmod.load_config("config/base.yaml")
+    engine = SubgridFakeEngine(plane_n=np.array([0.0, 0.0, 1.0]),
+                               plane_d=2.0)
+    poses = _int_shift_poses(16, px_per_frame=8, py_every=4)
+    # stride-2-divisible y steps keep subgrid correspondences exact
+    for i, T in enumerate(poses):
+        T[1, 3] = (i // 4) * 2 * PLANE_D / FOCAL
+    sysm = _run_slam(engine, poses)
+    cfgmod.config["matching"]["match_stride"] = 2  # _run_slam pinned 1
+    sysm2 = SLAMSystem(engine, H, W, fused=False)
+    sysm2.backend = FactorGraph(engine, sysm2.keyframes)
+    rng = np.random.default_rng(0)
+    tex = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    for i, T in enumerate(poses):
+        engine.register(i, T)
+        sysm2.process_frame(create_frame(i, tex.copy(), img_size=W))
+    rmse_full = _ate(sysm, engine)
+    rmse_sub = _ate(sysm2, engine)
+    assert sysm2.backend.ii, "subgrid backend should hold edges"
+    assert rmse_sub < 4e-3, f"subgrid ATE {rmse_sub:.5f} too high"
+    assert rmse_sub < max(2 * rmse_full, 3e-3), (rmse_sub, rmse_full)
