@@ -331,6 +331,7 @@ class FactorGraph:
             self.retrieval.add_to_database(frame)
             # seed pose from the best retrieved keyframe (main.py:96-101)
             frame.T_WC = self.frames[retr[0]].T_WC
+            frame.T_WC_host = None  # stale after the reseed
             self.frames[kf_idx] = frame
             self.solve()
             return True

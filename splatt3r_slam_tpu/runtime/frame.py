@@ -92,6 +92,9 @@ class Frame:
     img_true_shape: np.ndarray  # (1, 2)
     uimg: np.ndarray  # (h, w, 3) uint8 host (uimg01() for float)
     T_WC: jnp.ndarray = None  # (8,) Sim3
+    # host copy of T_WC[:3], ridden on the fused tracker's flags pull —
+    # lets the gaussian-append motion policy avoid a per-frame device sync
+    T_WC_host: Optional[np.ndarray] = None
     X_canon: Optional[jnp.ndarray] = None  # (N, 3)
     C: Optional[jnp.ndarray] = None  # (N, 1)
     feat: Optional[jnp.ndarray] = None  # (1, P, 1024)
@@ -306,6 +309,7 @@ class KeyframeBuffer:
         rows = np.asarray(T_WCs)
         for k, i in enumerate(np.atleast_1d(np.asarray(idx))):
             self.frames[int(i)].T_WC = jnp.asarray(rows[k])
+            self.frames[int(i)].T_WC_host = rows[k][:3].copy()
             self.is_dirty[int(i)] = True
 
     def release_older_transients(self):

@@ -233,16 +233,23 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
         new_kf = (jnp.minimum(match_frac_k, unique_frac)
                   < tcfg.match_frac_thresh) & ok
         # 5th slot carries the device-side fusion count so a pipelined
-        # (1-frame-lag) host can keep its N bookkeeping in lockstep
-        flags = jnp.stack(
-            [match_frac, new_kf.astype(jnp.float32),
-             fail.astype(jnp.float32), try_reloc.astype(jnp.float32),
-             kf_new.N_fused]
-        )
+        # (1-frame-lag) host can keep its N bookkeeping in lockstep;
+        # slots 5:8 carry the solved translation so the gaussian-append
+        # motion policy (should_append_gaussians) never pulls T_WC from
+        # device on the critical path (~35 ms round-trip floor per sync)
+        T_out = jnp.where(ok, T_WCf, T_WCf_init)
+        flags = jnp.concatenate([
+            jnp.stack(
+                [match_frac, new_kf.astype(jnp.float32),
+                 fail.astype(jnp.float32), try_reloc.astype(jnp.float32),
+                 kf_new.N_fused]
+            ),
+            T_out[:3],
+        ])
         out = {
             "feat": feat, "pos": pos,
             "X": Xff, "C": Cff,
-            "T_WCf": jnp.where(ok, T_WCf, T_WCf_init),
+            "T_WCf": T_out,
             "idx_f2k": idx_f2k_b,
             "kf": kf_new,
         }
@@ -365,7 +372,8 @@ class FusedTracker:
 
     def _consume(self, frame, flags, kfr):
         """Apply one frame's host decisions from its (fetched) flags."""
-        match_frac, new_kf, fail, try_reloc, n_fused = flags
+        match_frac, new_kf, fail, try_reloc, n_fused = flags[:5]
+        frame.T_WC_host = flags[5:8]  # free ride on the flags pull
         if try_reloc > 0:
             if fail > 0:
                 print(f"Cholesky failed {frame.frame_id}")

@@ -34,6 +34,16 @@ from splatt3r_slam_tpu.runtime.frame import (
 from splatt3r_slam_tpu.runtime.tracker import FrameTracker
 
 
+def _host_translation(frame: Frame):
+    """Translation of frame.T_WC without a device sync when possible:
+    the fused tracker rides it on the per-frame flags pull
+    (frame.T_WC_host); pulling T_WC directly costs a ~35 ms tunnel
+    round-trip on the tracking critical path."""
+    if getattr(frame, "T_WC_host", None) is not None:
+        return np.asarray(frame.T_WC_host)
+    return np.asarray(frame.T_WC[:3])
+
+
 def should_append_gaussians(frame: Frame, is_keyframe: bool,
                             last_append_frame_id, last_T_WC,
                             min_translation: float = 0.12,
@@ -48,7 +58,7 @@ def should_append_gaussians(frame: Frame, is_keyframe: bool,
     if frame.frame_id - last_append_frame_id >= min_frame_gap:
         return True
     if last_T_WC is not None:
-        dt = np.asarray(frame.T_WC[:3]) - np.asarray(last_T_WC[:3])
+        dt = _host_translation(frame) - np.asarray(last_T_WC[:3])
         if np.linalg.norm(dt) > min_translation:
             return True
     return False
@@ -200,7 +210,7 @@ class SLAMSystem:
         means, cov_triu, colors, opas = out
         self.pool.append_chunk(means, cov_triu, colors, opas, kf_idx)
         self.last_gs_frame_id = frame.frame_id
-        self.last_gs_T_WC = frame.T_WC
+        self.last_gs_T_WC = _host_translation(frame)
 
     # ------------------------------------------------------------------
     def process_frame(self, frame: Frame, force_keyframe: bool = False):
