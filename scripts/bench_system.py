@@ -151,6 +151,7 @@ def main():
         nloc = len(dataset)
         prefetch = FramePrefetcher(
             lambda k: create_frame(k, dataset[k][1], img_size=w), nloc)
+        pending_render = [None]
         relocs = 0
         t0 = time.time()
         try:
@@ -195,12 +196,21 @@ def main():
                     img_r = render_frame(frame,
                                          kf if kf is not None else frame)
                     if img_r is not None:
-                        np.asarray(img_r.ravel()[:1])  # tunnel-safe sync
+                        # 1-render-lag sync: fetch the PREVIOUS render
+                        # while this one computes (a real PNG exporter
+                        # thread overlaps exactly this way); each fresh
+                        # sync otherwise costs a ~35 ms tunnel round-trip
+                        prev_r, pending_render[0] = \
+                            pending_render[0], img_r
+                        if prev_r is not None:
+                            np.asarray(prev_r.ravel()[:1])
                 if collect is not None:
                     collect.append((time.time() - tf0, force))
         finally:
             prefetch.close()
         td0 = time.time()
+        if pending_render[0] is not None:
+            np.asarray(pending_render[0].ravel()[:1])
         if not bool(cfgmod.config.get("single_thread", True)):
             sysm._drain_backend()
             sysm._stop = True

@@ -283,10 +283,40 @@ class FactorGraph:
     # ------------------------------------------------------------------
     # backend-driver API used by SLAMSystem
     # ------------------------------------------------------------------
+    def add_neighbor_edge_from_tracking(self, kf_idx: int) -> bool:
+        """Consecutive edge (kf_idx-1, kf_idx) reusing the direction the
+        fused tracking step already computed (Frame.edge_half): only the
+        reverse decode+match runs, and — since the reference never gates
+        consecutive edges (global_opt.py: `consecutive` bypass) — no
+        match-fraction host pull is needed. Fully async edge creation."""
+        if not bool(self.cfg.get("reuse_tracking_edge", True)):
+            return False
+        frame_j = self.frames[kf_idx]
+        eh = getattr(frame_j, "edge_half", None)
+        if eh is None or eh["kf_idx"] != kf_idx - 1:
+            return False
+        kf_i = self.frames[kf_idx - 1]
+        self.engine.ensure_encoded(kf_i)
+        self.engine.ensure_encoded(frame_j)
+        idx_i2j, valid_j, Qj = self.engine.match_oneway(
+            kf_i.feat, kf_i.pos, frame_j.feat, frame_j.pos
+        )
+        self.ii.append(kf_idx - 1)
+        self.jj.append(kf_idx)
+        self.idx_ii2jj.append(idx_i2j)
+        self.idx_jj2ii.append(eh["idx_j2i"])
+        self.valid_match_j.append(valid_j)
+        self.valid_match_i.append(eh["valid_i"])
+        self.Q_ii2jj.append(Qj)
+        self.Q_jj2ii.append(eh["Qi"])
+        frame_j.edge_half = None
+        self._enforce_max_edges()
+        return True
+
     def on_keyframe(self, kf_idx: int) -> bool:
         """Neighbor edge + retrieval edges + solve (spec: main.py:142-190)."""
         edges_ii, edges_jj = [], []
-        if kf_idx > 0:
+        if kf_idx > 0 and not self.add_neighbor_edge_from_tracking(kf_idx):
             edges_ii.append(kf_idx - 1)
             edges_jj.append(kf_idx)
         if self.retrieval is not None and kf_idx >= 0:

@@ -108,6 +108,10 @@ class Frame:
     # decoder hook tokens kept by the tracking-mode frontend for lazy
     # Gaussian materialization (InferenceEngine.materialize_gaussians)
     gauss_hooks: Optional[dict] = None
+    # one direction of the prospective (kf, frame) backend edge, computed
+    # free by the fused tracking step (idx_j2i/valid_i/Qi, subgrid rows);
+    # consumed by FactorGraph when the frame becomes a keyframe
+    edge_half: Optional[dict] = None
     # Portrait frames run at their true orientation (the net is shape-
     # polymorphic; matches the reference's ManyAR portrait protocol,
     # dust3r/patch_embed.py:33-71 + dust3r/utils/misc.py:55-95).

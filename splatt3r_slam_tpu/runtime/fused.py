@@ -268,6 +268,12 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
             out["d2"] = d2
             out["Xkf"] = Xkf
             out["Ckf"] = Ckf
+        # one full direction of the prospective (kf, frame) backend edge:
+        # rows = kf pixels → frame pixels, with the reference's ungated
+        # match confidence Qi = sqrt(Qjj[idx_j2i]·Qij). If this frame
+        # becomes a keyframe, FactorGraph.add_neighbor_edge_from_tracking
+        # reuses it and only decodes/matches the reverse direction.
+        out["edge_half"] = (idx, valid_match[:, 0], Qk[:, 0])
         return out, flags
 
     _STEP_CACHE[cache_key] = step
@@ -352,6 +358,11 @@ class FusedTracker:
                 "X2": out["Xkf"], "C2": out["Ckf"],
             }
         frame.T_WC = out["T_WCf"]
+        eh_idx, eh_valid, eh_Q = out["edge_half"]
+        frame.edge_half = {
+            "idx_j2i": eh_idx, "valid_i": eh_valid, "Qi": eh_Q,
+            "kf_idx": len(self.keyframes) - 1,
+        }
         kfr = self.keyframes.last_keyframe()
         kfr.X_canon = out["kf"].X
         kfr.C = out["kf"].C

@@ -33,6 +33,20 @@ def _extract_gaussians(res: dict) -> dict:
     return d
 
 
+@functools.partial(jax.jit, static_argnames=("mkw_items",))
+def _match_oneway_jit(X11, X21, D11, D21, Q11, Q21, mkw_items):
+    """match + confidence gather as ONE device program (see
+    InferenceEngine.match_oneway)."""
+    idx, valid = matching.match(X11, X21, D11, D21, None,
+                                **dict(mkw_items))
+    b = idx.shape[0]
+    Q1 = Q11.reshape(b, -1)
+    Q2 = Q21.reshape(b, -1)
+    Qj = jnp.sqrt(jnp.take_along_axis(Q1, idx, axis=1) * Q2)
+    # squeezed inside the jit: eager [0]-slices each cost a dispatch
+    return idx[0], valid[0, :, 0], Qj[0]
+
+
 class InferenceEngine:
     """Holds model + params and the jitted inference units."""
 
@@ -195,6 +209,30 @@ class InferenceEngine:
         Ckf = flat(res21["conf"][..., None], 1)
         Qkf = flat(res21["desc_conf"][..., None], 1)
         return idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf
+
+    def match_oneway(self, feat_i, pos_i, feat_j, pos_j):
+        """Single-direction edge matching: decode pair (i as view1,
+        j as view2) and match j's cross-points onto i's ray image.
+
+        Returns (idx_i2j (ns,) [rows = j subgrid pixels → i pixels],
+        valid_j (ns,), Qj (ns,) = sqrt(Qii[idx]·Qji), the
+        reference's ungated match confidence). Complements the direction
+        the fused tracking step already produced for the consecutive
+        keyframe edge (Frame.edge_half) — half the symmetric decode."""
+        r1, r2 = self.decoder(feat_i, pos_i, feat_j, pos_j)
+        ds = config.get("dataset", {}).get("img_downsample", 1)
+        ds = ds * max(1, int(config["matching"].get("match_stride", 1)))
+
+        def dsmap(a):
+            return a[:, ::ds, ::ds] if ds > 1 else a
+
+        mkw = matching.match_kwargs_from_config(config["matching"])
+        return _match_oneway_jit(
+            dsmap(r1["pts3d"]), dsmap(r2["pts3d"]),
+            dsmap(r1["desc"]), dsmap(r2["desc"]),
+            dsmap(r1["desc_conf"]), dsmap(r2["desc_conf"]),
+            tuple(sorted(mkw.items())),
+        )
 
     def match_symmetric(self, feat_i, pos_i, feat_j, pos_j):
         """Batched symmetric edge matching (spec: splatt3r_utils.py:441-500,

@@ -180,3 +180,59 @@ def test_fused_matches_modular_calibrated(setup):
         np.testing.assert_allclose(p_fus, p_mod, atol=2e-4)
     finally:
         cfgmod.config["use_calib"] = False
+
+
+def test_neighbor_edge_reuse_matches_symmetric(setup):
+    """FactorGraph.add_neighbor_edge_from_tracking (one reverse decode +
+    the fused step's stored half) builds the same consecutive edge as
+    the full symmetric add_factors path."""
+    from splatt3r_slam_tpu.backend import FactorGraph
+
+    engine, h, w = setup
+    imgs = _frames(h, w)
+
+    from splatt3r_slam_tpu.runtime.frame import Mode
+
+    def run(reuse):
+        cfgmod.config["local_opt"]["reuse_tracking_edge"] = reuse
+        sysm = SLAMSystem(engine, h, w, fused=True)
+        sysm.backend = FactorGraph(engine, sysm.keyframes)
+        for i, img in enumerate(imgs[:3]):
+            f = create_frame(i, img, img_size=w)
+            # identity-init the tracker's match warm start: the reused
+            # direction then solves the exact problem add_factors would
+            # (in production the tracker warm-starts across frames — the
+            # same tracker-vs-backend init asymmetry the reference has,
+            # absorbed by the descriptor refine on real geometry)
+            sysm.tracker.reset_idx_f2k()
+            sysm.process_frame(f, force_keyframe=(i > 0))
+            if sysm.mode == Mode.RELOC:
+                # random weights: GN 'fail' flips to RELOC and skips the
+                # keyframe branch; run the event path explicitly (as
+                # bench_system's cadence mode does)
+                sysm.mode = Mode.TRACKING
+                if i > 0:
+                    sysm.keyframes.append(f)
+                    sysm._dispatch_backend(len(sysm.keyframes) - 1)
+        fg = sysm.backend
+        return {k: [np.asarray(a) for a in getattr(fg, k)]
+                for k in ("ii", "jj", "idx_ii2jj", "idx_jj2ii",
+                          "valid_match_j", "valid_match_i",
+                          "Q_ii2jj", "Q_jj2ii")}
+
+    try:
+        full = run(False)
+        reused = run(True)
+    finally:
+        cfgmod.config["local_opt"].pop("reuse_tracking_edge", None)
+
+    assert full["ii"] == reused["ii"] and full["jj"] == reused["jj"]
+    assert len(full["ii"]) >= 2
+    for k in ("idx_ii2jj", "idx_jj2ii", "valid_match_j", "valid_match_i"):
+        for a, b in zip(full[k], reused[k]):
+            agree = (a == b).mean()
+            assert agree > 0.995, (k, agree)
+    for k in ("Q_ii2jj", "Q_jj2ii"):
+        for a, b in zip(full[k], reused[k]):
+            close = np.isclose(a, b, atol=1e-4).mean()
+            assert close > 0.995, (k, close)
