@@ -228,6 +228,24 @@ def main(argv=None):
 
     prefetch = FramePrefetcher(load, n)
     timestamps = []
+
+    # 1-render-lag PNG export: write the PREVIOUS frame's render while the
+    # device computes the next one (each fresh sync costs a ~35 ms tunnel
+    # round-trip; the reference hides this in its visualization process)
+    pending_render = None  # (frame_idx, device_image)
+
+    def _flush_render():
+        nonlocal pending_render
+        if pending_render is None:
+            return
+        ri, img_r = pending_render
+        pending_render = None
+        import cv2
+
+        out = (np.clip(np.asarray(img_r), 0, 1) * 255).astype(np.uint8)
+        cv2.imwrite(str(render_dir / f"{ri:06d}.png"),
+                    cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
+
     t0 = time.time()
     try:
         for i in range(n):
@@ -244,13 +262,8 @@ def main(argv=None):
                 kf = system.keyframes.last_keyframe()
                 img_r = render_frame(frame, kf if kf is not None else frame, K=K)
                 if img_r is not None:
-                    import cv2
-
-                    out = (np.clip(np.asarray(img_r), 0, 1) * 255).astype(
-                        np.uint8
-                    )
-                    cv2.imwrite(str(render_dir / f"{i:06d}.png"),
-                                cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
+                    _flush_render()
+                    pending_render = (i, img_r)
 
             if viewer is not None and i % 10 == 0 and system.pool.n > 0:
                 state = viewer.update()
@@ -269,6 +282,7 @@ def main(argv=None):
 
     finally:
         prefetch.close()
+        _flush_render()
     elapsed = time.time() - t0
     print(f"done: {n} frames in {elapsed:.1f}s "
           f"({n / max(elapsed, 1e-9):.2f} FPS), "

@@ -124,7 +124,12 @@ def main():
             retrieval = RetrievalDatabase()
         sysm.backend = FactorGraph(engine, sysm.keyframes,
                                    retrieval=retrieval)
-        sysm.gaussian_module = GaussianAccumulator(spatial_stride=4)
+        # gaussian accumulation is tied to the render path in the
+        # reference (main.py:468 `if enable_gs_viz or render_gaussians`):
+        # BASELINE config 3 ("full SLAM loop") runs without it; config 4
+        # ("gaussian rendering path") turns it on via --render-stride
+        if args.render_stride:
+            sysm.gaussian_module = GaussianAccumulator(spatial_stride=4)
         return sysm
 
     system = build_system()
@@ -179,7 +184,8 @@ def main():
                             sysm._append_gaussians(
                                 frame, len(sysm.keyframes) - 1)
                             sysm.keyframes.release_older_transients()
-                        elif should_append_gaussians(
+                        elif sysm.gaussian_module is not None and \
+                                should_append_gaussians(
                                 frame, False, sysm.last_gs_frame_id,
                                 sysm.last_gs_T_WC):
                             # production policy appends gaussians every

@@ -28,7 +28,7 @@ class MetricsLogger:
         self.dir = pathlib.Path(run_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.path = self.dir / f"{run_name}_metrics.csv"
-        self._rows = []
+        self.path.unlink(missing_ok=True)
         self._keys = []
         self._t0 = time.time()
         if meta:
@@ -44,17 +44,25 @@ class MetricsLogger:
                 row[k] = float(v)
             except (TypeError, ValueError):
                 row[k] = str(v)
-        for k in row:
-            if k not in self._keys:
-                self._keys.append(k)
-        self._rows.append(row)
-        self._flush()
-
-    def _flush(self):
-        with open(self.path, "w", newline="") as f:
-            wr = csv.DictWriter(f, fieldnames=self._keys, restval="")
-            wr.writeheader()
-            wr.writerows(self._rows)
+        new_keys = [k for k in row if k not in self._keys]
+        if new_keys:
+            # header grows (e.g. val_* metrics appearing): rewrite the
+            # file once under the widened header. Rare — bounded by the
+            # number of distinct key sets, so logging stays O(n) overall
+            # (a steady-state log() is a single appended line).
+            old = []
+            if self._keys and self.path.exists():
+                with open(self.path, newline="") as f:
+                    old = list(csv.DictReader(f))
+            self._keys.extend(new_keys)
+            with open(self.path, "w", newline="") as f:
+                wr = csv.DictWriter(f, fieldnames=self._keys, restval="")
+                wr.writeheader()
+                wr.writerows(old)
+                wr.writerow(row)
+            return
+        with open(self.path, "a", newline="") as f:
+            csv.DictWriter(f, fieldnames=self._keys, restval="").writerow(row)
 
 
 class TraceWindow:

@@ -187,8 +187,11 @@ def aggregate_binary(vecs: np.ndarray, word_ids: np.ndarray,
     resid = v_sorted - c_sorted
     words, starts = np.unique(w_sorted, return_index=True)
     # segment sums as cumsum differences — np.add.reduceat is scalar-slow
-    # (~32 ms on the (1500, 1024) query aggregate vs ~2 ms this way)
-    cs = np.cumsum(resid, axis=0)
+    # (~32 ms on the (1500, 1024) query aggregate vs ~2 ms this way).
+    # float64 accumulation: a f32 running sum reaches O(100) while true
+    # per-segment sums can sit near zero, so f32 cumsum cancellation
+    # (~1e-3 abs) could flip sign bits vs the exact per-segment reduction
+    cs = np.cumsum(resid, axis=0, dtype=np.float64)
     ends = np.concatenate([starts[1:], [resid.shape[0]]])
     sums = cs[ends - 1].copy()
     nz = starts > 0

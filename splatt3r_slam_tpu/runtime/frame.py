@@ -171,6 +171,13 @@ class Frame:
         self.gaussian_pred = None
         self.gaussian_pred_cross = None
         self.gauss_hooks = None
+        # tracking-edge half (~1.8 MB at stride 1): consumed by
+        # FactorGraph.add_neighbor_edge_from_tracking at this keyframe's
+        # own backend event; if the config gate or a reloc skipped it,
+        # drop it here instead of holding it for the keyframe's lifetime.
+        # (A threaded-backend task that loses this benign race falls back
+        # to full matching — the reader null-checks.)
+        self.edge_half = None
 
 
 @functools.lru_cache(maxsize=1)

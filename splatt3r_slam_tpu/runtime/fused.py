@@ -307,6 +307,7 @@ class FusedTracker:
         # keep 0 (deterministic, frame-exact decisions).
         self.pipeline_lag = int(config["tracking"].get("pipeline_lag", 0))
         self._pending = None
+        self.last_T_WC_host = None
 
     def reset_idx_f2k(self):
         self.idx_f2k = None
@@ -326,7 +327,21 @@ class FusedTracker:
     def track(self, frame):
         import numpy as np
 
+        flushed = None
         if self._kf_state is None or self.keyframes.is_dirty[-1]:
+            # flush the lagged in-flight frame FIRST: its fusion already
+            # ran on device, so consuming it brings the host N up to the
+            # device fold count before _sync_kf_state re-seeds N_fused
+            # from the host copy (otherwise every resync under
+            # pipeline_lag=1 would desynchronize the keyframe's fusion
+            # counter one low for the rest of its life). One blocking
+            # pull, resync events only — not the steady-state path. Its
+            # decision (if any) is returned below, AFTER the current
+            # frame's dispatch — same order as the unflushed lag flow.
+            if self._pending is not None:
+                pf, pfl, pkfr = self._pending
+                self._pending = None
+                flushed = self._consume(pf, np.asarray(pfl), pkfr)
             self.engine.ensure_encoded(self.keyframes.last_keyframe())
             self._sync_kf_state()
 
@@ -376,7 +391,9 @@ class FusedTracker:
                 pass
             prev, self._pending = self._pending, (frame, flags, kfr)
             if prev is None:
-                return False, False
+                # a resync flushed the lagged frame this call; its
+                # decision still has to reach the system
+                return flushed if flushed is not None else (False, False)
             pframe, pflags, pkfr = prev
             return self._consume(pframe, np.asarray(pflags), pkfr)
         return self._consume(frame, np.asarray(flags), kfr)
@@ -385,6 +402,9 @@ class FusedTracker:
         """Apply one frame's host decisions from its (fetched) flags."""
         match_frac, new_kf, fail, try_reloc, n_fused = flags[:5]
         frame.T_WC_host = flags[5:8]  # free ride on the flags pull
+        # latest consumed host pose: the gaussian motion gate uses this
+        # for frames whose own flags are still in flight (pipeline_lag=1)
+        self.last_T_WC_host = frame.T_WC_host
         if try_reloc > 0:
             if fail > 0:
                 print(f"Cholesky failed {frame.frame_id}")

@@ -46,6 +46,12 @@ def save_session(path, system, backend=None):
             blobs[f"kf{i}_feat"] = np.asarray(kf.feat, np.float32)
             blobs[f"kf{i}_pos"] = np.asarray(kf.pos)
     if backend is not None and backend.ii:
+        from splatt3r_slam_tpu.config import config as _cfg
+
+        # edge arrays live on the matching subgrid; a resume under a
+        # different match_stride would mis-index the solver's pointmaps
+        blobs["edges_match_stride"] = np.asarray(
+            int(_cfg["matching"].get("match_stride", 1)))
         blobs["edges_ii"] = np.asarray(backend.ii)
         blobs["edges_jj"] = np.asarray(backend.jj)
         blobs["edges_idx"] = np.stack(backend.idx_ii2jj)
@@ -88,6 +94,16 @@ def load_session(path, system, backend=None):
         system.pool.kf_id[:pn] = z["pool_kf_id"]
         system.pool.n = pn
     if backend is not None and "edges_ii" in z:
+        from splatt3r_slam_tpu.config import config as _cfg
+
+        saved_s = int(z.get("edges_match_stride", 1))
+        cur_s = int(_cfg["matching"].get("match_stride", 1))
+        if saved_s != cur_s:
+            raise ValueError(
+                f"session edges were built at matching.match_stride="
+                f"{saved_s}, current config uses {cur_s}; set the config "
+                "to match before resuming"
+            )
         backend.ii = [int(v) for v in z["edges_ii"]]
         backend.jj = [int(v) for v in z["edges_jj"]]
         backend.idx_ii2jj = list(z["edges_idx"])

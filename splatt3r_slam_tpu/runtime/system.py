@@ -233,16 +233,29 @@ class SLAMSystem:
             return self.mode, True
 
         if self.mode == Mode.TRACKING:
-            new_kf, try_reloc = self.tracker.track(frame)
-            new_kf = new_kf or force_keyframe
+            new_kf_dev, try_reloc = self.tracker.track(frame)
+            new_kf = new_kf_dev or force_keyframe
             if try_reloc:
                 self.mode = Mode.RELOC
                 return self.mode, False
+            if frame.T_WC_host is None:
+                # pipeline_lag=1: this frame's flags (which carry T_WC)
+                # haven't been pulled yet — reuse the last consumed host
+                # pose for the gaussian motion gate rather than paying a
+                # blocking device pull (the 1-frame staleness is the same
+                # relaxation the lag itself introduces)
+                frame.T_WC_host = getattr(self.tracker, "last_T_WC_host",
+                                          None)
             if should_append_gaussians(
                 frame, new_kf, self.last_gs_frame_id, self.last_gs_T_WC
             ):
                 self._append_gaussians(frame, len(self.keyframes) - 1)
             if new_kf:
+                if not new_kf_dev:
+                    # forced keyframe: the device path didn't reset the
+                    # matcher warm start — drop correspondences against
+                    # the OLD keyframe before tracking against the new one
+                    self.tracker.reset_idx_f2k()
                 self.keyframes.append(frame)
                 self._dispatch_backend(len(self.keyframes) - 1)
                 self.keyframes.release_older_transients()

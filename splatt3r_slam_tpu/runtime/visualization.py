@@ -150,7 +150,7 @@ class Viewer:
 
             img = render_tiles_pallas(
                 means, cov, colors, opa, jnp.asarray(view),
-                jnp.asarray(self.K), (self.h, self.w),
+                jnp.asarray(self.K), (self.h, self.w), k_max=self.k_max,
             )
         else:
             img = render_tiles(

@@ -126,6 +126,89 @@ def test_pipeline_lag_mode(setup):
     np.testing.assert_allclose(p1[0], p0[0], atol=1e-5)
 
 
+def test_pipeline_lag_resync_keeps_fusion_count(setup):
+    """A keyframe-state resync under pipeline_lag=1 (here: marking the
+    keyframe dirty, as a backend solve does) must first flush the lagged
+    in-flight frame so the host fusion count N matches the device fold
+    count — otherwise N_fused is re-seeded one low for the keyframe's
+    remaining life and C/N confidence normalization drifts."""
+    from splatt3r_slam_tpu.runtime.frame import Mode
+
+    engine, h, w = setup
+    imgs = _frames(h, w, n=5)
+    old = cfgmod.config["tracking"].get("pipeline_lag", 0)
+    old_it = cfgmod.config["tracking"]["max_iters"]
+    cfgmod.config["tracking"]["pipeline_lag"] = 1
+    # 0 GN iterations: tracking trivially succeeds (pose passthrough), so
+    # the test deterministically stays in TRACKING and every frame folds
+    # into the keyframe — tiny-random GN would otherwise fail into RELOC
+    # and bypass the lag/resync machinery under test
+    cfgmod.config["tracking"]["max_iters"] = 0
+    try:
+        sysm = SLAMSystem(engine, h, w, fused=True)
+        for i, img in enumerate(imgs[:3]):
+            f = create_frame(i, img, img_size=w)
+            sysm.process_frame(f)
+        assert sysm.mode == Mode.TRACKING
+        kfr = sysm.keyframes.last_keyframe()
+        n_before = kfr.N
+        # force the resync path mid-stream (backend solves set is_dirty)
+        sysm.keyframes.is_dirty[len(sysm.keyframes) - 1] = True
+        f = create_frame(3, imgs[3], img_size=w)
+        sysm.process_frame(f)
+        assert sysm.mode == Mode.TRACKING
+        # the flush consumed the lagged frame: host N advanced past the
+        # pre-resync value and matches the tracker's host-side counter,
+        # so the device N_fused seeded at resync is NOT one low
+        assert kfr.N >= n_before
+        assert sysm.tracker._host_N == kfr.N
+        n_dev = float(np.asarray(sysm.tracker._kf_state.N_fused))
+        assert n_dev >= kfr.N >= 1
+        f4 = create_frame(4, imgs[4], img_size=w)
+        sysm.process_frame(f4)
+        assert np.isfinite(np.asarray(f4.T_WC)).all()
+    finally:
+        cfgmod.config["tracking"]["pipeline_lag"] = old
+        cfgmod.config["tracking"]["max_iters"] = old_it
+
+
+def test_forced_keyframe_resets_match_warmstart(setup):
+    """force_keyframe must drop the matcher warm start (idx_f2k refers to
+    the OLD keyframe); the device-decided keyframe path resets it in
+    _consume, the forced path resets it in process_frame. Deterministic
+    stub tracker: real tiny-random GN can fail into RELOC and mask the
+    forced-keyframe branch."""
+    from splatt3r_slam_tpu.runtime.frame import Mode
+
+    engine, h, w = setup
+    imgs = _frames(h, w, n=2)
+
+    class _StubTracker:
+        filtering_mode = "weighted_pointmap"
+        filtering_score = "median"
+        idx_f2k = "warm-start-against-old-kf"
+        last_T_WC_host = None
+
+        def track(self, frame):
+            frame.T_WC_host = np.zeros(3, np.float32)
+            return False, False  # device says: not a keyframe
+
+        def reset_idx_f2k(self):
+            self.idx_f2k = None
+
+    sysm = SLAMSystem(engine, h, w, fused=True)
+    f0 = create_frame(0, imgs[0], img_size=w)
+    sysm.process_frame(f0)  # INIT keyframe
+    sysm.tracker = _StubTracker()
+    f1 = create_frame(1, imgs[1], img_size=w)
+    f1.feat, f1.pos = f0.feat, f0.pos
+    f1.X_canon, f1.C = f0.X_canon, f0.C
+    mode, new_kf = sysm.process_frame(f1, force_keyframe=True)
+    assert mode == Mode.TRACKING and new_kf
+    assert sysm.tracker.idx_f2k is None
+    assert len(sysm.keyframes) == 2
+
+
 def test_unique_match_count_exact():
     """Pins the keyframe-selection unique count to the reference's
     torch.unique semantics (tracker.py:104-110), including the case
