@@ -11,9 +11,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
+
+# Honor JAX_PLATFORMS even when a sitecustomize has pinned jax_platforms
+# via jax.config.update (config beats env vars; see main.py).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 ABLATIONS = {
     "baseline": [],

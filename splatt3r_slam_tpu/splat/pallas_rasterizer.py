@@ -177,13 +177,6 @@ def render_tiles_pallas(
     H, W = hw
     TX, TY = W // TILE, H // TILE
     T = TX * TY
-    # same int32 (tile<<18|depth) key layout as render_tiles: sentinel T
-    # must fit, so at most 8191 tiles (~2.1 MP).
-    if T + 1 > (1 << (31 - 18)):
-        raise ValueError(
-            f"render_tiles_pallas: {T} tiles ({W}x{H}) overflows the "
-            "int32 (tile<<18|depth) sort key; max 8191 tiles (~2.1 MP)."
-        )
     assert k_max % CHUNK == 0, "k_max must be a multiple of the DMA CHUNK"
     if bg is None:
         bg = jnp.zeros(3)

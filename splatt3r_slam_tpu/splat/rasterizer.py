@@ -184,19 +184,30 @@ def bin_tiles(means2d, depth, radius, ok, hw, tpg_side, k_max):
     ty = ty0[:, None] + dxy[None, :, 1]
     key_ok = (tx <= tx1[:, None]) & (ty <= ty1[:, None]) & ok[:, None]
     tile_id = jnp.where(key_ok, ty * TX + tx, T)  # sentinel T = invalid
-    key = (tile_id << DBITS) | depth_q[:, None]  # (G, TPG) int32
 
-    flat_key = key.reshape(-1)
     flat_g = jnp.broadcast_to(
-        jnp.arange(G, dtype=jnp.int32)[:, None], key.shape
+        jnp.arange(G, dtype=jnp.int32)[:, None], tile_id.shape
     ).reshape(-1)
-    sorted_key, sorted_g = jax.lax.sort((flat_key, flat_g), num_keys=1)
+    if (T + 1) < (1 << (31 - DBITS)):
+        # fused (tile_id << DBITS | depth_q) int32 key: one single-key sort
+        key = (tile_id << DBITS) | depth_q[:, None]  # (G, TPG) int32
+        flat_key = key.reshape(-1)
+        sorted_key, sorted_g = jax.lax.sort((flat_key, flat_g), num_keys=1)
+        tile_probe = jnp.arange(T + 1, dtype=jnp.int32) << DBITS
+    else:
+        # ≥ 2^13 tiles (≳2.1 MP at TILE=16): the shifted tile id would
+        # overflow int32, so sort on (tile, depth) as two operands
+        sorted_key, _, sorted_g = jax.lax.sort(
+            (tile_id.reshape(-1),
+             jnp.broadcast_to(depth_q[:, None], tile_id.shape).reshape(-1),
+             flat_g),
+            num_keys=2,
+        )
+        tile_probe = jnp.arange(T + 1, dtype=jnp.int32)
 
     P = sorted_key.shape[0]
     n_iter = max(1, int(np.ceil(np.log2(P + 1))))
-    bounds = _searchsorted_bin(
-        sorted_key, (jnp.arange(T + 1, dtype=jnp.int32) << DBITS), n_iter
-    )
+    bounds = _searchsorted_bin(sorted_key, tile_probe, n_iter)
     starts, ends = bounds[:T], bounds[1:]
 
     pos = starts[:, None] + jnp.arange(k_max)[None, :]
@@ -229,13 +240,6 @@ def render_tiles(
     assert H % TILE == 0 and W % TILE == 0
     TX, TY = W // TILE, H // TILE
     T = TX * TY
-    # key layout is (tile_id << DBITS) | depth_q in int32; the sentinel
-    # tile id T must also fit, so T < 2^(31-18) = 8192 tiles (~2.1 MP).
-    if T + 1 > (1 << (31 - 18)):
-        raise ValueError(
-            f"render_tiles: {T} tiles ({W}x{H}) overflows the int32 "
-            "(tile<<18|depth) sort key; max 8191 tiles (~2.1 MP)."
-        )
     G = means.shape[0]
     if bg is None:
         bg = jnp.zeros(3)

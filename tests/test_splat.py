@@ -149,6 +149,29 @@ def test_background_color():
                                                     img.shape), atol=1e-5)
 
 
+def test_large_image_two_key_sort():
+    """≥2^13 tiles (≳2.1 MP at TILE=16) can't pack tile_id<<18 into an
+    int32 key: bin_tiles must take the two-operand lax.sort path. Checks
+    projection placement AND depth ordering survive the switch on a
+    2048x1088 render (128x68 = 8704 tiles)."""
+    hw = (1088, 2048)
+    Kbig = jnp.array([[800.0, 0, 1024], [0, 800, 544], [0, 0, 1]])
+    # near opaque red occludes far green; both at an off-center pixel.
+    # Covariances are small enough that each splat's screen radius fits
+    # the tpg_side=4 tile-coverage budget (~18 px and ~27 px).
+    means = jnp.array([[1.0, 0.5, 2.0], [1.0, 0.5, 8.0]])
+    cov = cov_to_triu(jnp.stack([jnp.eye(3) * 2e-4, jnp.eye(3) * 8e-3]))
+    colors = jnp.array([[1.0, 0, 0], [0, 1.0, 0]])
+    opa = jnp.array([0.99, 0.99])
+    img = np.asarray(
+        render_tiles(means, cov, colors, opa, VIEW, Kbig, hw, k_max=8))
+    u = int(800 * 1.0 / 2.0 + 1024)  # 1424
+    v = int(800 * 0.5 / 2.0 + 544)  # 744
+    c = img[v, u]
+    assert c[0] > 0.8 and c[1] < 0.2, c
+    assert img[0, 0].max() < 1e-3
+
+
 def test_gaussians_to_world_filters(rng):
     h, w = 16, 16
     means = rng.normal(size=(h, w, 3)).astype(np.float32)
