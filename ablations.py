@@ -69,6 +69,7 @@ def run_one(name, dotlist, args):
             trn.get("train_gaussian_heads_only", True)
         ),
         mast3r_loss_weight=trn.get("mast3r_loss_weight"),
+        grad_clip_norm=float(trn.get("gradient_clip_val", 0.5)),
         ssim_weight=float(trn.get("ssim_weight", 0.0)),
         render_loss=bool(trn.get("render_loss", True)),
         k_max=int(trn.get("k_max", 64)),

@@ -39,6 +39,7 @@ class TrainConfig(NamedTuple):
     weight_decay: float = 0.0
     lr_milestones: tuple = ()
     lr_gamma: float = 0.1
+    grad_clip_norm: float = 0.5  # Lightning gradient_clip_val (main.py:382)
     train_gaussian_heads_only: bool = True
     mast3r_loss_weight: float | None = None  # extra Regr3D term weight
     conf_alpha: float = 0.2
@@ -121,6 +122,12 @@ class Trainer:
         if train_cfg.weight_decay:
             opt = optax.chain(
                 optax.add_decayed_weights(train_cfg.weight_decay), opt
+            )
+        if train_cfg.grad_clip_norm:
+            # Lightning clips the GLOBAL grad norm before the optimizer
+            # step (Trainer(gradient_clip_val=...), main.py:382).
+            opt = optax.chain(
+                optax.clip_by_global_norm(train_cfg.grad_clip_norm), opt
             )
         self.tx = optax.multi_transform(
             {"train": opt, "frozen": optax.set_to_zero()},

@@ -183,3 +183,36 @@ def test_fit_loop_csv_logging(tmp_path):
     val_rows = [r for r in rows if r.get("val_psnr", "")]
     assert len(val_rows) == 1
     assert (tmp_path / "train_meta.json").exists()
+
+
+def test_grad_clip_global_norm():
+    """Gradient clipping parity with Lightning's gradient_clip_val
+    (reference `splatt3r_core/main.py:382`): the optimizer chain rescales
+    gradients to the global-norm ceiling BEFORE Adam sees them. Adam's
+    first-step update is scale-invariant, so assert on the first moment
+    (mu = (1-b1)·g_effective) accumulated in the optimizer state: with
+    clipping, its global norm is (1-b1)·clip; without, (1-b1)·‖g‖.
+    """
+    mesh = make_mesh(1)
+    cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
+
+    def mu_norm(clip):
+        trainer = Trainer(
+            cfg,
+            TrainConfig(train_gaussian_heads_only=False,
+                        grad_clip_norm=clip),
+            mesh=mesh,
+        )
+        params = {"w": jnp.zeros(4), "b": jnp.zeros(2)}
+        grads = {"w": jnp.array([3.0, 0, 0, 4.0]),
+                 "b": jnp.array([0.0, 12.0])}  # global norm 13
+        state = trainer.tx.init(params)
+        _, state = trainer.tx.update(grads, state, params)
+        mu_sq = 0.0
+        for path, leaf in jax.tree_util.tree_flatten_with_path(state)[0]:
+            if any(getattr(k, "name", "") == "mu" for k in path):
+                mu_sq += float(jnp.sum(leaf ** 2))
+        return float(np.sqrt(mu_sq))
+
+    np.testing.assert_allclose(mu_norm(clip=0.5), 0.1 * 0.5, rtol=1e-5)
+    np.testing.assert_allclose(mu_norm(clip=0.0), 0.1 * 13.0, rtol=1e-5)
