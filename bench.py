@@ -26,6 +26,25 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
+def _accel_probe(timeout_s=180.0):
+    """True iff the accelerator backend initializes within timeout_s.
+
+    Probed in a SUBPROCESS: when the axon tunnel is down, in-process
+    backend init blocks for ~40 min before raising UNAVAILABLE — a
+    bounded probe keeps the driver's bench run from hanging."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.default_backend(); print('ACCEL_OK')"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return "ACCEL_OK" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def main():
     import jax
 
@@ -34,7 +53,16 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    backend = jax.default_backend()
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") \
+            and not _accel_probe():
+        # tunnel down: fall back to CPU so the driver still records a
+        # metric line instead of hanging on backend init.
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+        backend = jax.default_backend()
     on_accel = backend not in ("cpu",)
 
     from splatt3r_slam_tpu import config as cfgmod

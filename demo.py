@@ -1,9 +1,14 @@
-"""Two-image Gaussian-splat demo (headless).
+"""Two-image Gaussian-splat demo (headless CLI or web app).
 
-Parity: reference `splatt3r_core/demo.py` (Gradio two-image app) — here a
-CLI that runs two-view inference on an image pair, exports the predicted
-Gaussians as a 3DGS-format PLY, and renders an orbit of novel views to
-PNG frames (and an MP4 if OpenCV can encode).
+Parity: reference `splatt3r_core/demo.py` (Gradio two-image app). Two
+modes:
+  CLI (default): run two-view inference on an image pair, export the
+    predicted Gaussians as a 3DGS-format PLY, render an orbit of novel
+    views to PNG frames (and an MP4 if OpenCV can encode).
+  Web (`--serve PORT`): stdlib HTTP app — upload one or two images in
+    the browser, drag an interactive viewer that is rasterized on the
+    accelerator per request (`splatt3r_slam_tpu/runtime/webdemo.py`),
+    download the .ply.
 """
 
 from __future__ import annotations
@@ -23,14 +28,21 @@ if os.environ.get("JAX_PLATFORMS"):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("image1")
-    p.add_argument("image2")
+    p.add_argument("image1", nargs="?", default=None)
+    p.add_argument("image2", nargs="?", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--out", default="demo_out")
     p.add_argument("--img-size", type=int, default=512)
     p.add_argument("--n-views", type=int, default=24)
     p.add_argument("--tiny-model", action="store_true")
+    p.add_argument("--serve", type=int, default=0, metavar="PORT",
+                   help="run the web demo on this port instead of the CLI")
+    p.add_argument("--host", default="127.0.0.1")
     args = p.parse_args(argv)
+    if args.serve:
+        return serve_web(args)
+    if not (args.image1 and args.image2):
+        p.error("image1 and image2 are required unless --serve is given")
 
     import cv2
     import jax
@@ -126,6 +138,32 @@ def main(argv=None):
     except Exception:
         pass
     print(f"wrote {args.n_views} orbit views under {out_dir}")
+    return 0
+
+
+def serve_web(args):
+    import argparse as _ap
+
+    from splatt3r_slam_tpu.models import TwoViewConfig
+    from splatt3r_slam_tpu.runtime.webdemo import DemoEngine, serve
+
+    cfg = TwoViewConfig()
+    if args.tiny_model:
+        cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
+
+    import main as cli
+
+    # param shapes are resolution-independent; 384x512 seeds the init
+    model, params = cli.load_model_params(
+        _ap.Namespace(checkpoint=args.checkpoint, seed=0), cfg, 384, 512)
+    engine = DemoEngine(model, params, img_size=args.img_size)
+    server = serve(engine, host=args.host, port=args.serve)
+    print(f"web demo on http://{args.host}:{server.server_address[1]}/ "
+          "(ctrl-c to stop)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
     return 0
 
 

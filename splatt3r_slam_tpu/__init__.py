@@ -15,3 +15,12 @@ Layer map mirrors SURVEY.md §1 (reference layers L0-L7).
 """
 
 __version__ = "0.1.0"
+
+# jax's persistent-compile-cache writes are not atomic; a concurrent
+# reader segfaults on a half-written entry (see utils/cache_atomic.py).
+# Install the temp+rename fix for every entry point importing this pkg.
+from splatt3r_slam_tpu.utils.cache_atomic import (  # noqa: E402
+    install_atomic_cache_writes as _install_atomic_cache_writes,
+)
+
+_install_atomic_cache_writes()

@@ -48,6 +48,11 @@ class TwoViewConfig(NamedTuple):
     rope_freq: float = 100.0
     dtype: str = "bfloat16"  # transformer compute dtype
     head_dtype: str = "float32"  # DPT/MLP head compute dtype
+    # rematerialize each scanned block on the backward pass: activations
+    # are recomputed instead of stored, trading ~1/3 extra FLOPs for
+    # O(depth) less HBM — standard for training ViT-L on TPU. Inference
+    # (the SLAM runtime) has no backward pass, so it stays off there.
+    remat: bool = False
     # DPT trunk sizes (production values fixed by the checkpoint; scaled
     # down only in tiny() so tests/dryruns don't pay 256-wide convs)
     head_feature_dim: int = 256
@@ -127,8 +132,13 @@ class Splatt3RModel(nn.Module):
         dt = c.jdtype
         self.patch_embed = PatchEmbed(c.patch_size, c.enc_embed_dim,
                                       jnp.float32, name="patch_embed")
+        # prevent_cse is safe (and faster) under scan's loop structure
+        enc_body = (nn.remat(_EncBody, prevent_cse=False) if c.remat
+                    else _EncBody)
+        dec_body = (nn.remat(_DecBody, prevent_cse=False) if c.remat
+                    else _DecBody)
         self.enc_blocks = nn.scan(
-            _EncBody,
+            enc_body,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=nn.broadcast,
@@ -137,7 +147,7 @@ class Splatt3RModel(nn.Module):
         self.enc_norm = nn.LayerNorm(epsilon=1e-6, name="enc_norm")
         self.decoder_embed = nn.Dense(c.dec_embed_dim, name="decoder_embed")
         self.dec_blocks = nn.scan(
-            _DecBody,
+            dec_body,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=c.dec_depth,

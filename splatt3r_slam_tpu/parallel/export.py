@@ -70,6 +70,10 @@ def save_as_ply(path, means, scales, rotations, sh, opacities):
               f"element vertex {n}\n"
               + "".join(f"property float {nm}\n" for nm in names)
               + "end_header\n").encode("ascii")
+    if hasattr(path, "write"):  # file-like (e.g. the web demo's BytesIO)
+        path.write(header)
+        path.write(rec.tobytes())
+        return
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:

@@ -49,6 +49,10 @@ class TrainConfig(NamedTuple):
     lpips_weight: float = 0.0  # perceptual term (utils/lpips.py; needs VGG weights)
     sh_residual: bool = True  # learn_residual (main.py:110-118)
     k_max: int = 256  # rasterizer depth-list cap during training
+    # Lightning accumulate_grad_batches equivalent: average grads over N
+    # consecutive microbatches, apply the optimizer (incl. global-norm
+    # clip) once on the mean — N× effective batch in constant HBM.
+    accum_steps: int = 1
 
 
 def regr3d_conf_loss(pred1, pred2, gt1_pts, gt2_pts, valid1, valid2,
@@ -135,6 +139,13 @@ class Trainer:
                 params, train_cfg.train_gaussian_heads_only
             ),
         )
+        if train_cfg.accum_steps > 1:
+            # grads accumulate across microbatch steps; the wrapped chain
+            # (clip -> adam) sees only the k-step mean, matching
+            # Lightning's accumulate_grad_batches + gradient_clip_val
+            # ordering.
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=train_cfg.accum_steps)
 
     def init_state(self, h, w, seed=0):
         img = jnp.zeros((1, h, w, 3), jnp.float32)

@@ -44,3 +44,28 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# XLA:CPU JIT-loads ~6 anonymous mappings per compiled executable and
+# jax's jit caches pin every one of them; a full suite run accumulates
+# past vm.max_map_count (65530 here), after which the next mmap inside
+# backend.deserialize_executable fails unchecked and the process
+# SIGSEGVs (observed deterministically at ~91% of the suite; per-test
+# map counts: 35k -> 64.7k -> crash). Shed executables before the
+# cliff — the persistent compile cache makes re-acquiring them cheap.
+_MAP_GUARD_THRESHOLD = 30_000
+
+
+@pytest.fixture(autouse=True)
+def _mmap_guard():
+    yield
+    try:
+        with open("/proc/self/maps") as f:
+            n = sum(1 for _ in f)
+    except OSError:  # non-Linux: limit doesn't apply
+        return
+    if n > _MAP_GUARD_THRESHOLD:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()

@@ -216,3 +216,76 @@ def test_grad_clip_global_norm():
 
     np.testing.assert_allclose(mu_norm(clip=0.5), 0.1 * 0.5, rtol=1e-5)
     np.testing.assert_allclose(mu_norm(clip=0.0), 0.1 * 13.0, rtol=1e-5)
+
+
+def _tiny_batch(h, w, B, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "img1": jnp.asarray(rng.normal(size=(B, h, w, 3)), jnp.float32),
+        "img2": jnp.asarray(rng.normal(size=(B, h, w, 3)), jnp.float32),
+        "gt1_pts": jnp.asarray(rng.normal(size=(B, h, w, 3)), jnp.float32),
+        "gt2_pts": jnp.asarray(rng.normal(size=(B, h, w, 3)), jnp.float32),
+        "valid1": jnp.ones((B, h, w), bool),
+        "valid2": jnp.ones((B, h, w), bool),
+    }
+
+
+def test_grad_accum_matches_single_step():
+    """accum_steps=k on k identical microbatches == one plain step on
+    that microbatch (mean of k equal grads is the grad), and params must
+    not move before the k-th microbatch (optax.MultiSteps semantics =
+    Lightning accumulate_grad_batches)."""
+    h, w, B = 16, 32, 2
+    cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
+    batch = _tiny_batch(h, w, B)
+
+    t1 = Trainer(cfg, TrainConfig(train_gaussian_heads_only=False),
+                 n_devices=1)
+    p1, s1, sh1 = t1.init_state(h, w)
+    p1, _, _ = t1.make_train_step(sh1)(p1, s1, batch)
+
+    t2 = Trainer(cfg, TrainConfig(train_gaussian_heads_only=False,
+                                  accum_steps=2), n_devices=1)
+    p2, s2, sh2 = t2.init_state(h, w)
+    step2 = t2.make_train_step(sh2)
+    p2_ref = jax.tree.map(np.asarray, p2)
+    p2, s2, _ = step2(p2, s2, batch)
+    # first microbatch only accumulates: params unchanged
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p2_ref)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    p2, s2, _ = step2(p2, s2, batch)
+
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
+
+
+def test_remat_forward_and_grads_match():
+    """cfg.remat rematerializes the scanned blocks: identical outputs
+    and gradients, params tree unchanged (checkpoint compatibility)."""
+    from splatt3r_slam_tpu.models import Splatt3RModel
+
+    h, w = 16, 32
+    cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
+    cfg_r = cfg._replace(remat=True)
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(1, h, w, 3)),
+                      jnp.float32)
+
+    m, mr = Splatt3RModel(cfg), Splatt3RModel(cfg_r)
+    params = m.init(jax.random.PRNGKey(0), img, img)["params"]
+    params_r = mr.init(jax.random.PRNGKey(0), img, img)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_r))
+
+    def loss(mod):
+        def f(p):
+            r1, r2 = mod.apply({"params": p}, img, img)
+            return jnp.sum(r1["pts3d"] ** 2) + jnp.sum(r2["conf"])
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(m))(params)
+    l1, g1 = jax.value_and_grad(loss(mr))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
