@@ -45,8 +45,20 @@ def parse_args(argv=None):
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--img-size", type=int, default=512)
     p.add_argument("--no-gaussians", action="store_true")
-    p.add_argument("--gaussian-stride", type=int, default=4)
+    p.add_argument("--gaussian-stride", "--spatial-stride", type=int,
+                   default=4, dest="gaussian_stride",
+                   help="spatial subsampling stride of appended gaussians")
     p.add_argument("--max-gaussians", type=int, default=4 * 1024 * 1024)
+    # splash-filter knobs (reference main.py:240-261 -> gaussians_to_world)
+    p.add_argument("--depth-max-percentile", type=float, default=0.98,
+                   help="drop gaussians deeper than this depth percentile "
+                        "(1.0 disables)")
+    p.add_argument("--max-scale", type=float, default=0.5,
+                   help="drop gaussians whose largest scale axis exceeds "
+                        "this (hallucinated splash artifacts)")
+    p.add_argument("--min-confidence", type=float, default=1.5,
+                   help="drop gaussians below this pointmap confidence "
+                        "(0 disables)")
     p.add_argument("--render-stride", type=int, default=0,
                    help="export a GS render PNG every N frames (0 = off)")
     p.add_argument("--c-conf-threshold", type=float, default=1.5)
@@ -106,7 +118,9 @@ def _apply_gui_state(system, args, state):
         system.pool.max_gaussians = state.max_gaussians
     if system.gaussian_module is not None:
         system.gaussian_module.kw["spatial_stride"] = state.spatial_stride
-        system.gaussian_module.kw["min_confidence"] = state.C_conf_threshold
+    # C_conf slider gates the PLY/pointmap export only (main.py:545);
+    # the gaussian splash filter keeps the --min-confidence flag value
+    # (main.py:421,475 always pass args.min_confidence).
     args.c_conf_threshold = state.C_conf_threshold
 
 
@@ -189,7 +203,10 @@ def main(argv=None):
                                  retrieval=retrieval)
     if not args.no_gaussians:
         system.gaussian_module = GaussianAccumulator(
-            spatial_stride=args.gaussian_stride
+            spatial_stride=args.gaussian_stride,
+            depth_max_percentile=args.depth_max_percentile,
+            max_scale=args.max_scale,
+            min_confidence=args.min_confidence,
         )
         system.pool.max_gaussians = args.max_gaussians
 

@@ -151,7 +151,11 @@ def test_viewer_overlays_and_gui_state(slam_setup, tmp_path):
     state.max_gaussians = 1234
     state.spatial_stride = 7
     state.C_conf_threshold = 2.5
-    main_mod._apply_gui_state(sysm, _Args(), state)
+    args = _Args()
+    main_mod._apply_gui_state(sysm, args, state)
     assert sysm.pool.max_gaussians == 1234
     assert sysm.gaussian_module.kw["spatial_stride"] == 7
-    assert sysm.gaussian_module.kw["min_confidence"] == 2.5
+    # C_conf gates PLY export only; the splash filter keeps the flag
+    # value (reference main.py:421,475 vs :545)
+    assert sysm.gaussian_module.kw["min_confidence"] == 1.5
+    assert args.c_conf_threshold == 2.5
