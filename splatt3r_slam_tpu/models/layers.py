@@ -70,8 +70,58 @@ class Mlp(nn.Module):
         return x
 
 
+# Flash-attention mode: "auto" uses the Pallas TPU flash kernel when the
+# backend is a TPU and the token count fits its tiling (the fp32
+# (B, H, N, N) score tensor of the einsum path otherwise round-trips HBM
+# ~72 times per tracked frame — measured in scripts/bench_attention.py);
+# "off" forces the einsum path (exact fp32 softmax — the parity oracle),
+# "on" forces flash.
+_FLASH_MODE = "auto"
+
+
+def set_flash_attention(mode: str):
+    """Select the attention implementation: "auto" | "on" | "off"."""
+    global _FLASH_MODE
+    assert mode in ("auto", "on", "off"), mode
+    _FLASH_MODE = mode
+
+
+def _flash_wanted(n_q: int, n_kv: int, dh: int) -> bool:
+    if _FLASH_MODE == "off":
+        return False
+    if _FLASH_MODE == "on":
+        return True
+    # auto: TPU backend only (Pallas Mosaic kernel), shapes the kernel
+    # tiles cleanly (tiny test models fall back to einsum)
+    try:
+        if jax.default_backend() in ("cpu", "gpu"):
+            return False
+    except RuntimeError:
+        return False
+    return (n_q % 256 == 0 and n_kv % 256 == 0
+            and dh % 64 == 0 and dh >= 64)
+
+
+def _attend_flash(q, k, v, scale):
+    """Pallas TPU flash attention ((B,N,H,D) in/out); fwd-only use."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention,
+    )
+
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), causal=False, sm_scale=scale,
+    )
+    return out.transpose(0, 2, 1, 3).astype(v.dtype)
+
+
 def _attend(q, k, v, scale):
     """Softmax attention with fp32 logits/weights, bf16 matmuls."""
+    if _flash_wanted(q.shape[1], k.shape[1], q.shape[-1]):
+        try:
+            return _attend_flash(q, k, v, scale)
+        except Exception:  # kernel unavailable — einsum is always correct
+            pass
     logits = jnp.einsum(
         "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
     )
