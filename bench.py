@@ -143,37 +143,64 @@ def main():
         N_fused=jnp.asarray(1.0), T_WC=kf_frame.T_WC,
     )
 
-    def track_step(i, kf):
-        f = prefetch.get(i)
+    def track_step(i, kf, get_frame):
+        f = get_frame(i)
         out, flags = step(params, f.img, kf, f.T_WC, None)
         return out["kf"], flags
 
-    import jax as _j
-
     for i in range(1, 3):  # warmup: pays all compiles
-        kf, flags = track_step(i, kf)
+        kf, flags = track_step(i, kf, prefetch.get)
         np.asarray(flags)
 
     # 1-frame-lag pipeline: dispatch frame t, then consume frame t-1's
     # flags — the host round-trip overlaps device compute, so steady-state
     # FPS is bounded by device time, not link latency.
-    t0 = time.perf_counter()
-    n_timed = 0
-    prev_flags = None
-    for i in range(3, n_frames):
-        kf, flags = track_step(i, kf)
-        try:
-            flags.copy_to_host_async()
-        except Exception:
-            pass
-        if prev_flags is not None:
-            np.asarray(prev_flags)  # decision for frame i-1
-        prev_flags = flags
-        n_timed += 1
-    np.asarray(prev_flags)
-    dt = time.perf_counter() - t0
+    # Variance robustness (VERDICT r2 item 1): THREE measured passes over
+    # the sequence; the reported value is the MEDIAN pass so one noisy
+    # remote-tunnel pass cannot define the round. Spread is printed on
+    # stderr for the log.
+    def one_pass(kf, get_frame):
+        t0 = time.perf_counter()
+        n_timed = 0
+        prev_flags = None
+        for i in range(3, n_frames):
+            kf, flags = track_step(i, kf, get_frame)
+            try:
+                flags.copy_to_host_async()
+            except Exception:
+                pass
+            if prev_flags is not None:
+                np.asarray(prev_flags)  # decision for frame i-1
+            prev_flags = flags
+            n_timed += 1
+        np.asarray(prev_flags)
+        return n_timed / (time.perf_counter() - t0), kf
 
-    fps = n_timed / dt
+    passes = []
+    for p in range(3):
+        if p > 0:
+            # fresh sequential prefetcher per pass; warmup frames 0-2
+            # replay un-timed to restore the pipeline state
+            prefetch.close()
+            prefetch = FramePrefetcher(
+                lambda i: create_frame(i, frames[i], img_size=w), n_frames
+            )
+            for i in range(3):
+                if i == 0:
+                    prefetch.get(0)
+                else:
+                    kf, flags = track_step(i, kf, prefetch.get)
+                    np.asarray(flags)
+        fps_i, kf = one_pass(kf, prefetch.get)
+        passes.append(fps_i)
+    fps = float(np.median(passes))
+    print(
+        "bench passes (FPS): "
+        + ", ".join(f"{p:.2f}" for p in passes)
+        + f"  -> p50 {fps:.2f}, spread {max(passes) - min(passes):.2f}",
+        file=sys.stderr,
+    )
+
     baseline_fps = 15.0
     print(json.dumps({
         "metric": "tracking_fps_512x384" if on_accel else "tracking_fps_tiny_cpu",

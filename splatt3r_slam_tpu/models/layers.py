@@ -70,36 +70,57 @@ class Mlp(nn.Module):
         return x
 
 
-# Flash-attention mode: "auto" uses the Pallas TPU flash kernel when the
-# backend is a TPU and the token count fits its tiling (the fp32
-# (B, H, N, N) score tensor of the einsum path otherwise round-trips HBM
-# ~72 times per tracked frame — measured in scripts/bench_attention.py);
-# "off" forces the einsum path (exact fp32 softmax — the parity oracle),
-# "on" forces flash.
+# Flash-attention mode. MEASURED on v5e at the production tracking shape
+# (B=1..2, H=12..16, N=768, Dh=64): the Pallas flash kernel made the whole
+# fused tracking step 44% SLOWER (55 ms vs 38 ms/step, 18.5 vs 26 FPS —
+# the round-2 driver-bench regression). At N=768 the fp32 score tensor is
+# only (B,H,768,768) ≈ 37 MB and XLA fuses softmax into the matmuls, so
+# flash's VMEM-resident streaming buys nothing while its launch/tiling
+# overheads dominate. "auto" therefore engages flash only at token counts
+# where the score tensor genuinely blows past VMEM (N ≥ 4096 — e.g. a
+# future ≥1024-res variant); "off" forces the einsum path (exact fp32
+# softmax — the parity oracle), "on" forces flash where the shape permits.
+# NOTE: _FLASH_MODE is read at trace time — set it BEFORE the first call
+# of a jitted function (changing it later does not invalidate jit caches).
 _FLASH_MODE = "auto"
+
+# flash-attention auto threshold: minimum n_q·n_kv before the Pallas
+# kernel is preferred over the fused einsum (see measurement note above)
+_FLASH_AUTO_MIN_SCORES = 4096 * 4096
 
 
 def set_flash_attention(mode: str):
-    """Select the attention implementation: "auto" | "on" | "off"."""
+    """Select the attention implementation: "auto" | "on" | "off".
+
+    Must be called before the first trace of any jitted model function
+    (module-global, read at trace time; see note on _FLASH_MODE).
+    Wired to `--flash-attention` on main.py / bench scripts.
+    """
     global _FLASH_MODE
     assert mode in ("auto", "on", "off"), mode
     _FLASH_MODE = mode
 
 
+def _flash_shape_ok(n_q: int, n_kv: int, dh: int) -> bool:
+    # shapes the Pallas Mosaic kernel tiles cleanly
+    return (n_q % 256 == 0 and n_kv % 256 == 0
+            and dh % 64 == 0 and dh >= 64)
+
+
 def _flash_wanted(n_q: int, n_kv: int, dh: int) -> bool:
     if _FLASH_MODE == "off":
         return False
+    if not _flash_shape_ok(n_q, n_kv, dh):
+        return False
     if _FLASH_MODE == "on":
         return True
-    # auto: TPU backend only (Pallas Mosaic kernel), shapes the kernel
-    # tiles cleanly (tiny test models fall back to einsum)
+    # auto: TPU backend only, and only above the measured crossover
     try:
         if jax.default_backend() in ("cpu", "gpu"):
             return False
     except RuntimeError:
         return False
-    return (n_q % 256 == 0 and n_kv % 256 == 0
-            and dh % 64 == 0 and dh >= 64)
+    return n_q * n_kv >= _FLASH_AUTO_MIN_SCORES
 
 
 def _attend_flash(q, k, v, scale):
@@ -115,13 +136,26 @@ def _attend_flash(q, k, v, scale):
     return out.transpose(0, 2, 1, 3).astype(v.dtype)
 
 
+_FLASH_FALLBACK_LOGGED = False
+
+
 def _attend(q, k, v, scale):
     """Softmax attention with fp32 logits/weights, bf16 matmuls."""
     if _flash_wanted(q.shape[1], k.shape[1], q.shape[-1]):
         try:
             return _attend_flash(q, k, v, scale)
-        except Exception:  # kernel unavailable — einsum is always correct
-            pass
+        except (ImportError, NotImplementedError, ValueError) as e:
+            # expected trace-time failures only (kernel missing / shape
+            # rejected); log once so a silently-disabled flash path is
+            # visible instead of masking real bugs
+            global _FLASH_FALLBACK_LOGGED
+            if not _FLASH_FALLBACK_LOGGED:
+                _FLASH_FALLBACK_LOGGED = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "flash attention unavailable (%s); using einsum path", e
+                )
     logits = jnp.einsum(
         "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
     )
