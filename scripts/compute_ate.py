@@ -7,7 +7,12 @@ Equivalent of the reference eval scripts' `evo_ape tum <gt> <est> -as`
 
 import argparse
 import json
+import pathlib
 import sys
+
+# runnable as `python scripts/compute_ate.py` from anywhere (sys.path[0]
+# is scripts/, not the repo root)
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main():

@@ -13,6 +13,9 @@ SEQS=(rgbd_dataset_freiburg1_360 rgbd_dataset_freiburg1_desk \
       rgbd_dataset_freiburg1_plant rgbd_dataset_freiburg1_room \
       rgbd_dataset_freiburg1_rpy rgbd_dataset_freiburg1_teddy \
       rgbd_dataset_freiburg1_xyz)
+# CI hook: run on a different sequence set (e.g. the committed fixture,
+# tests/fixtures/tum — see tests/test_tum_eval_protocol.py)
+if [ -n "${SEQS_OVERRIDE:-}" ]; then read -r -a SEQS <<< "$SEQS_OVERRIDE"; fi
 
 for seq in "${SEQS[@]}"; do
   echo "=== $seq ==="

@@ -140,7 +140,12 @@ def umeyama_alignment(x: np.ndarray, y: np.ndarray, with_scale=True):
         S[2, 2] = -1
     R = U @ S @ Vt
     var_x = (xc**2).sum() / len(x)
-    s = float(np.trace(np.diag(D) @ S) / var_x) if with_scale else 1.0
+    # degenerate source (all estimated positions identical — e.g. a
+    # tracking failure leaving every pose at identity): scale is
+    # unobservable; fall back to s=1 so the metric stays finite instead
+    # of dividing by zero
+    s = (float(np.trace(np.diag(D) @ S) / var_x)
+         if with_scale and var_x > 1e-12 else 1.0)
     t = my - s * R @ mx
     return s, R, t
 
