@@ -59,8 +59,11 @@ def parse_args(argv=None):
     p.add_argument("--min-confidence", type=float, default=1.5,
                    help="drop gaussians below this pointmap confidence "
                         "(0 disables)")
-    p.add_argument("--render-stride", type=int, default=0,
-                   help="export a GS render PNG every N frames (0 = off)")
+    p.add_argument("--render-stride", type=int, default=1,
+                   help="export a GS render PNG every N frames (0 = off). "
+                        "Default 1 matches the reference's default-on "
+                        "per-frame render export (main.py:336,490-506: "
+                        "--render-gaussians defaults True)")
     p.add_argument("--c-conf-threshold", type=float, default=1.5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny-model", action="store_true",

@@ -40,6 +40,10 @@ def test_main_cli_rgb_folder(tmp_path):
     assert (logs / "seq.ply").exists()
     traj = (logs / "seq.txt").read_text().strip().splitlines()
     assert len(traj) >= 1 and len(traj[0].split()) == 8
+    # per-frame GS render export is ON by default (reference parity:
+    # --render-gaussians defaults True, reference main.py:336,490-506)
+    assert any((logs / "seq_renders").glob("*.png")), \
+        "default run exported no GS renders"
 
 
 @pytest.mark.slow
