@@ -79,15 +79,21 @@ def test_backend_at_512kf_bucket_ceiling():
     valid_t = (valid,) * E_PAD
     Q_t = (Q,) * E_PAD
 
+    def solve_once():
+        out = pose_graph.gauss_newton_rays_staged(
+            Twc_t, Xs_t, Cs_t, Ns, jnp.asarray(ii_p), jnp.asarray(jj_p),
+            idx_t, valid_t, Q_t, jnp.asarray(on),
+            num_fix=1, max_iter=2, sigma_ray=0.003, sigma_dist=10.0,
+            C_thresh=0.0, Q_thresh=1.5, delta_thresh=1e-10, pix_stride=1,
+        )
+        return np.asarray(out)
+
     t0 = time.time()
-    Twc_new = pose_graph.gauss_newton_rays_staged(
-        Twc_t, Xs_t, Cs_t, Ns, jnp.asarray(ii_p), jnp.asarray(jj_p),
-        idx_t, valid_t, Q_t, jnp.asarray(on),
-        num_fix=1, max_iter=2, sigma_ray=0.003, sigma_dist=10.0,
-        C_thresh=0.0, Q_thresh=1.5, delta_thresh=1e-10, pix_stride=1,
-    )
-    Twc_new = np.asarray(Twc_new)
+    Twc_new = solve_once()
     dt = time.time() - t0
+    t1 = time.time()
+    solve_once()  # warm: execution only, the comparable number
+    dt_warm = time.time() - t1
 
     assert Twc_new.shape == (M_PAD, 8)
     assert np.isfinite(Twc_new).all()
@@ -108,6 +114,11 @@ def test_backend_at_512kf_bucket_ceiling():
         "m_real": M_REAL, "m_pad": M_PAD, "edges_two_way": E2,
         "e_pad": E_PAD, "n_pix": N_PIX, "iters": 2,
         "wall_s_incl_compile": round(dt, 2),
-        "note": "CPU test-harness timing (compile-dominated); TPU solve "
-                "timing in logs/bench_system_tpu_v5e.json",
+        "wall_s_warm": round(dt_warm, 2),
+        "note": "CPU test-harness timing on a 1-core shared host. "
+                "wall_s_incl_compile swings several-x with host load and "
+                "compile-cache state between commits (4.1 -> 16.5 -> 6.8 s "
+                "across rounds was environment, not code) — do not compare "
+                "it; wall_s_warm (execution only) is the comparable CPU "
+                "number. TPU solve timing: logs/bench_system_tpu_v5e.json.",
     }, indent=1))
