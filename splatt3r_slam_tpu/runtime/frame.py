@@ -302,8 +302,18 @@ class KeyframeBuffer:
         self.is_dirty[idx] = True
 
     def append(self, value: Frame):
-        if len(self.frames) >= self.buffer:
-            raise RuntimeError(f"keyframe buffer full ({self.buffer})")
+        if len(self.frames) == self.buffer:
+            # The reference's 512-slot ring hard-fails past capacity
+            # (frame.py:248,322); ours is a host list, so a long sequence
+            # can continue — warn once instead of killing the run. Device
+            # memory still grows ~6 MB per 512x384 keyframe: the backend's
+            # max_edges window stops optimizing old keyframes, but their
+            # pointmaps stay resident for retrieval/reloc.
+            print(
+                f"WARNING: keyframe count exceeds the reference buffer "
+                f"capacity ({self.buffer}); continuing with an unbounded "
+                f"buffer (device memory grows per keyframe)."
+            )
         self.frames.append(value)
         self.is_dirty.append(True)
 

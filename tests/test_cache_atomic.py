@@ -15,6 +15,8 @@ import pytest
 import splatt3r_slam_tpu  # noqa: F401 - installs the patch
 
 
+
+pytestmark = pytest.mark.smoke
 @pytest.fixture()
 def cache(tmp_path):
     from jax._src import lru_cache

@@ -1,8 +1,12 @@
+import pytest
+
 import pathlib
 
 from splatt3r_slam_tpu import config as cfgmod
 
 
+
+pytestmark = pytest.mark.smoke
 def test_load_base():
     root = pathlib.Path(__file__).resolve().parents[1]
     cfg = cfgmod.load_config(str(root / "config" / "base.yaml"))

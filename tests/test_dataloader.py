@@ -15,6 +15,8 @@ import pytest
 from splatt3r_slam_tpu import config as cfgmod
 from splatt3r_slam_tpu.runtime import dataloader as dl
 
+
+pytestmark = pytest.mark.smoke
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 

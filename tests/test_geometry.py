@@ -1,10 +1,13 @@
 """Jacobian/finite-difference tests for projective geometry and robust ops."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from splatt3r_slam_tpu.geometry import (
+
     backproject,
     check_convergence,
     constrain_points_to_ray,
@@ -14,6 +17,8 @@ from splatt3r_slam_tpu.geometry import (
     project_calib,
     tukey,
 )
+
+pytestmark = pytest.mark.smoke
 
 
 def test_point_to_ray_dist_jacobian(rng):

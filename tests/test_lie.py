@@ -12,6 +12,8 @@ import pytest
 from splatt3r_slam_tpu.lie import sim3
 
 
+
+pytestmark = pytest.mark.smoke
 def random_sim3(rng, batch=()):
     q = rng.normal(size=batch + (4,))
     q = q / np.linalg.norm(q, axis=-1, keepdims=True)

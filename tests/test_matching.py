@@ -4,11 +4,14 @@ Oracle: synthetic ray images with known correspondence (identity, pure
 pixel shifts) and descriptor fields with a planted argmax.
 """
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
 from splatt3r_slam_tpu.ops.image import img_gradient
 from splatt3r_slam_tpu.ops.matching import (
+
     iter_proj,
     lin_to_pixel,
     match,
@@ -16,6 +19,8 @@ from splatt3r_slam_tpu.ops.matching import (
     prep_rays_with_grad,
     refine_matches,
 )
+
+pytestmark = pytest.mark.smoke
 
 
 def _synthetic_pointmap(h, w, fx=100.0, seed=0):

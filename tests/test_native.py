@@ -6,6 +6,8 @@ import pytest
 from splatt3r_slam_tpu import native
 
 
+
+pytestmark = pytest.mark.smoke
 @pytest.fixture(scope="module")
 def lib_ok():
     if not native.available():

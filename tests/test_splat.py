@@ -11,6 +11,7 @@ import pytest
 
 from splatt3r_slam_tpu.lie import sim3
 from splatt3r_slam_tpu.splat.gaussians import (
+
     RGB2SH,
     SH2RGB,
     build_covariance,
@@ -24,6 +25,8 @@ from splatt3r_slam_tpu.splat.rasterizer import (
     render_bruteforce_scan,
     render_tiles,
 )
+
+pytestmark = pytest.mark.smoke
 
 
 def _scene(rng, G=100, spread=2.0):

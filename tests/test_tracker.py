@@ -4,15 +4,20 @@ Oracle: synthesize a ground-truth Sim(3) pose, generate matched point sets,
 and verify the optimizer recovers it (with and without noise/outliers).
 """
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
 from splatt3r_slam_tpu.lie import sim3
 from splatt3r_slam_tpu.tracking import (
+
     TrackingConfig,
     opt_pose_calib_sim3,
     opt_pose_ray_dist_sim3,
 )
+
+pytestmark = pytest.mark.smoke
 
 
 def _random_pose(rng, rot=0.2, trans=0.3, scale=0.1):

@@ -23,6 +23,8 @@ import subprocess
 import numpy as np
 import pytest
 
+
+pytestmark = pytest.mark.smoke
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 FIXTURE = ROOT / "tests" / "fixtures" / "tum"
 SEQ = "rgbd_dataset_freiburg1_fixture"

@@ -9,6 +9,8 @@ from splatt3r_slam_tpu.utils.queues import FakeQueue, new_queue, try_get_msg
 from splatt3r_slam_tpu.utils.timing import Benchmarker, Timer
 
 
+
+pytestmark = pytest.mark.smoke
 def test_ssim_identical(rng):
     x = jnp.asarray(rng.random((32, 40, 3)), jnp.float32)
     assert float(ssim_mean(x, x)) > 0.999

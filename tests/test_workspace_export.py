@@ -1,13 +1,18 @@
 """Workspace config/include/dotlist + export callbacks."""
 
+import pytest
+
 import numpy as np
 
 from splatt3r_slam_tpu.parallel.export import save_as_ply, save_batch_visuals
 from splatt3r_slam_tpu.parallel.workspace import (
+
     create_workspace,
     git_provenance,
     load_config,
 )
+
+pytestmark = pytest.mark.smoke
 
 
 def test_include_and_dotlist(tmp_path):
