@@ -111,9 +111,70 @@ class Viewer:
         self.msg_queue = new_queue()
         self.state = WindowMsg()
         self.yaw, self.pitch, self.radius = 0.0, 0.3, 4.0
+        # free-camera state (reference's user-steered camera,
+        # visualization.py:162-301): pan offset added to the orbit
+        # center; user_cam stops the auto-orbit once the user steers
+        self.center_offset = np.zeros(3, np.float32)
+        self.user_cam = False
+        self.show_help = False
+        self._drag = None  # (button, last_x, last_y)
+        self._last_T_cam = np.eye(4, dtype=np.float32)
+        self._window_ready = False
         self._frame_idx = 0
         if headless:
             self.out_dir.mkdir(parents=True, exist_ok=True)
+
+    # ---- free camera ---------------------------------------------------
+    def set_camera(self, yaw=None, pitch=None, radius=None,
+                   center_offset=None):
+        """Programmatic camera control (same effect as mouse steering)."""
+        if yaw is not None:
+            self.yaw = float(yaw)
+        if pitch is not None:
+            self.pitch = float(np.clip(pitch, -1.5, 1.5))
+        if radius is not None:
+            self.radius = float(max(radius, 1e-3))
+        if center_offset is not None:
+            self.center_offset = np.asarray(center_offset, np.float32)
+        self.user_cam = True
+
+    def _on_mouse(self, event, x, y, flags, param=None):
+        """cv2 mouse callback: L-drag orbit, R-drag pan, wheel dolly
+        (reference free camera + imgui panel, visualization.py:162-448)."""
+        import cv2
+
+        if event in (cv2.EVENT_LBUTTONDOWN, cv2.EVENT_RBUTTONDOWN,
+                     cv2.EVENT_MBUTTONDOWN):
+            self._drag = (event, x, y)
+            self.user_cam = True
+            return
+        if event in (cv2.EVENT_LBUTTONUP, cv2.EVENT_RBUTTONUP,
+                     cv2.EVENT_MBUTTONUP):
+            self._drag = None
+            return
+        if event == cv2.EVENT_MOUSEWHEEL:
+            # dolly: flags carry the wheel delta's sign
+            self.radius *= 0.9 if flags > 0 else 1.1
+            self.user_cam = True
+            return
+        if event == cv2.EVENT_MOUSEMOVE and self._drag is not None:
+            btn, lx, ly = self._drag
+            dx, dy = x - lx, y - ly
+            self._drag = (btn, x, y)
+            pan = (btn in (cv2.EVENT_RBUTTONDOWN, cv2.EVENT_MBUTTONDOWN)
+                   or bool(flags & cv2.EVENT_FLAG_SHIFTKEY))
+            if pan:
+                # translate the orbit center in the current image plane
+                right = self._last_T_cam[:3, 0]
+                down = self._last_T_cam[:3, 1]
+                k = 0.0015 * self.radius
+                self.center_offset = (
+                    self.center_offset - k * dx * right - k * dy * down
+                ).astype(np.float32)
+            else:
+                self.yaw += 0.008 * dx
+                self.pitch = float(np.clip(self.pitch + 0.008 * dy,
+                                           -1.5, 1.5))
 
     # ------------------------------------------------------------------
     def render_gs_view(self, T_WC_4x4=None):
@@ -249,7 +310,9 @@ class Viewer:
             center = np.asarray(data[0].mean(axis=0))
         if center is None:
             center = np.zeros(3, np.float32)
-        T_cam = orbit_pose(center, self.radius, self.yaw, self.pitch)
+        T_cam = orbit_pose(center + self.center_offset, self.radius,
+                           self.yaw, self.pitch)
+        self._last_T_cam = T_cam  # pan axes for the mouse callback
         view = np.linalg.inv(T_cam).astype(np.float32)
 
         if self.state.gs_on and data is not None:
@@ -284,12 +347,85 @@ class Viewer:
                     f"mode: {self.system.mode.name}",
                     (8, 20), cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 255, 255),
                     1)
+        # on-canvas control readouts (reference imgui panel values,
+        # visualization.py:303-448)
+        st = self.state
+        mg = st.max_gaussians if st.max_gaussians > 0 else "-"
+        cv2.putText(
+            canvas,
+            f"conf[{st.C_conf_threshold:.1f}] stride[{st.spatial_stride}] "
+            f"maxg[{mg}] {st.render_mode}"
+            + (" paused" if st.is_paused else ""),
+            (8, 38), cv2.FONT_HERSHEY_SIMPLEX, 0.45, (200, 255, 200), 1)
+        if self.show_help:
+            for li, txt in enumerate((
+                "drag: orbit   shift/right-drag: pan   wheel: dolly",
+                "space pause  n next  q quit  g gaussians  x depth",
+                "[/] conf  ,/. stride  -/= max gaussians  h help",
+            )):
+                cv2.putText(canvas, txt, (8, 58 + 16 * li),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.4,
+                            (255, 255, 160), 1)
         return canvas
+
+    def _handle_key(self, key: int):
+        """Keyboard control surface (key-bound equivalents of the
+        reference's imgui sliders, visualization.py:303-448). Separated
+        from update() so CI can drive it without a display."""
+        if key == ord("q"):
+            self.state.is_terminated = True
+        elif key == ord(" "):
+            self.state.is_paused = not self.state.is_paused
+        elif key == ord("n"):
+            self.state.next = True
+        elif key == ord("h"):
+            self.show_help = not self.show_help
+        elif key == ord("a"):
+            self.set_camera(yaw=self.yaw - 0.2)
+        elif key == ord("d"):
+            self.set_camera(yaw=self.yaw + 0.2)
+        elif key == ord("w"):
+            self.set_camera(radius=self.radius * 0.9)
+        elif key == ord("s"):
+            self.set_camera(radius=self.radius * 1.1)
+        elif key == ord("o"):
+            self.user_cam = False  # resume the auto-orbit
+        # GUI → main runtime controls (reference main.py:368-386)
+        elif key == ord("x"):
+            self.state.render_mode = (
+                "depth" if self.state.render_mode == "rgb" else "rgb")
+        elif key == ord("i"):
+            self.state.show_images = not self.state.show_images
+        elif key == ord("g"):
+            self.state.gs_on = not self.state.gs_on
+        elif key == ord("k"):
+            self.state.show_keyframes = not self.state.show_keyframes
+        elif key == ord("e"):
+            self.state.show_edges = not self.state.show_edges
+        elif key == ord("["):
+            self.state.C_conf_threshold = max(
+                0.0, self.state.C_conf_threshold - 0.1)
+        elif key == ord("]"):
+            self.state.C_conf_threshold += 0.1
+        elif key == ord(","):
+            self.state.spatial_stride = max(
+                1, self.state.spatial_stride - 1)
+        elif key == ord("."):
+            self.state.spatial_stride += 1
+        elif key == ord("-"):
+            if self.state.max_gaussians > 0:
+                self.state.max_gaussians //= 2
+            else:
+                self.state.max_gaussians = 2 * 1024 * 1024
+        elif key == ord("="):
+            if self.state.max_gaussians > 0:
+                self.state.max_gaussians *= 2
 
     def update(self):
         """One viewer tick; returns the current WindowMsg state."""
         canvas = self._compose()
-        self.yaw += 0.05  # slow orbit
+        if not self.user_cam:
+            self.yaw += 0.05  # slow auto-orbit until the user steers
         if self.headless:
             import cv2
 
@@ -298,54 +434,17 @@ class Viewer:
         else:  # pragma: no cover - needs a display
             import cv2
 
+            if not self._window_ready:
+                cv2.namedWindow("splatt3r-slam-tpu")
+                cv2.setMouseCallback("splatt3r-slam-tpu", self._on_mouse)
+                self._window_ready = True
             cv2.imshow("splatt3r-slam-tpu", cv2.cvtColor(canvas,
                                                          cv2.COLOR_RGB2BGR))
-            key = cv2.waitKey(1) & 0xFF
-            if key == ord("q"):
-                self.state.is_terminated = True
-            elif key == ord(" "):
-                self.state.is_paused = not self.state.is_paused
-            elif key == ord("n"):
-                self.state.next = True
-            elif key == ord("a"):
-                self.yaw -= 0.2
-            elif key == ord("d"):
-                self.yaw += 0.2
-            elif key == ord("w"):
-                self.radius *= 0.9
-            elif key == ord("s"):
-                self.radius *= 1.1
-            # GUI → main runtime controls (reference main.py:368-386)
-            elif key == ord("x"):
-                self.state.render_mode = (
-                    "depth" if self.state.render_mode == "rgb" else "rgb")
-            elif key == ord("i"):
-                self.state.show_images = not self.state.show_images
-            elif key == ord("g"):
-                self.state.gs_on = not self.state.gs_on
-            elif key == ord("k"):
-                self.state.show_keyframes = not self.state.show_keyframes
-            elif key == ord("e"):
-                self.state.show_edges = not self.state.show_edges
-            elif key == ord("["):
-                self.state.C_conf_threshold = max(
-                    0.0, self.state.C_conf_threshold - 0.1)
-            elif key == ord("]"):
-                self.state.C_conf_threshold += 0.1
-            elif key == ord(","):
-                self.state.spatial_stride = max(
-                    1, self.state.spatial_stride - 1)
-            elif key == ord("."):
-                self.state.spatial_stride += 1
-            elif key == ord("-"):
-                if self.state.max_gaussians > 0:
-                    self.state.max_gaussians //= 2
-                else:
-                    self.state.max_gaussians = 2 * 1024 * 1024
-            elif key == ord("="):
-                if self.state.max_gaussians > 0:
-                    self.state.max_gaussians *= 2
-            self.msg_queue.put(self.state)
+            self._handle_key(cv2.waitKey(1) & 0xFF)
+        # GUI → main channel (WindowMsg semantics): keep only the latest
+        # state so an undrained queue cannot grow over a long run
+        try_get_msg(self.msg_queue)
+        self.msg_queue.put(self.state)
         self._frame_idx += 1
         return self.state
 

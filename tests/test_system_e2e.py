@@ -159,3 +159,70 @@ def test_viewer_overlays_and_gui_state(slam_setup, tmp_path):
     # value (reference main.py:421,475 vs :545)
     assert sysm.gaussian_module.kw["min_confidence"] == 1.5
     assert args.c_conf_threshold == 2.5
+
+
+def test_viewer_mouse_camera_and_controls(slam_setup, tmp_path):
+    """Free-camera interaction parity (VERDICT r2 item 6, reference
+    visualization.py:162-448): mouse-drag orbit, shift/right-drag pan,
+    wheel dolly, user-chosen cameras override the auto-orbit, and the
+    key-bound control surface round-trips through the WindowMsg queue."""
+    import cv2
+
+    from splatt3r_slam_tpu.runtime.visualization import Viewer
+    from splatt3r_slam_tpu.splat import GaussianAccumulator
+
+    engine, h, w = slam_setup
+    sysm = SLAMSystem(engine, h, w)
+    sysm.gaussian_module = GaussianAccumulator(spatial_stride=2)
+    for i, img in enumerate(_frames(3, h, w)):
+        sysm.process_frame(create_frame(i, img, img_size=w))
+
+    viewer = Viewer(sysm, hw=(48, 64), headless=True, out_dir=str(tmp_path))
+
+    # camera 1: explicit user camera
+    viewer.set_camera(yaw=0.0, pitch=0.2, radius=3.0)
+    viewer.update()
+    # camera 2: left-drag orbit
+    viewer._on_mouse(cv2.EVENT_LBUTTONDOWN, 10, 10, 0)
+    viewer._on_mouse(cv2.EVENT_MOUSEMOVE, 70, 34, 0)
+    viewer._on_mouse(cv2.EVENT_LBUTTONUP, 70, 34, 0)
+    assert viewer.yaw != pytest.approx(0.0)
+    assert viewer.pitch != pytest.approx(0.2)
+    viewer.update()
+    # camera 3: wheel dolly in + right-drag pan
+    r0 = viewer.radius
+    viewer._on_mouse(cv2.EVENT_MOUSEWHEEL, 32, 32, 120)
+    assert viewer.radius < r0
+    viewer._on_mouse(cv2.EVENT_RBUTTONDOWN, 20, 20, 0)
+    viewer._on_mouse(cv2.EVENT_MOUSEMOVE, 44, 30, 0)
+    viewer._on_mouse(cv2.EVENT_RBUTTONUP, 44, 30, 0)
+    assert float(np.linalg.norm(viewer.center_offset)) > 0
+    viewer.update()
+
+    # three distinct user-chosen views were written
+    imgs = [cv2.imread(str(tmp_path / f"{i:06d}.png")) for i in range(3)]
+    assert all(im is not None for im in imgs)
+    assert not np.array_equal(imgs[0], imgs[1])
+    assert not np.array_equal(imgs[1], imgs[2])
+
+    # user steering disables the auto-orbit; 'o' resumes it
+    assert viewer.user_cam
+    yaw_frozen = viewer.yaw
+    viewer.update()
+    assert viewer.yaw == pytest.approx(yaw_frozen)
+    viewer._handle_key(ord("o"))
+    assert not viewer.user_cam
+
+    # key-bound sliders round-trip through the WindowMsg queue
+    conf0 = viewer.state.C_conf_threshold
+    stride0 = viewer.state.spatial_stride
+    viewer._handle_key(ord("]"))
+    viewer._handle_key(ord("."))
+    viewer._handle_key(ord("-"))
+    st = viewer.update()
+    msg = viewer.poll_msg()
+    assert msg is not None
+    assert msg.C_conf_threshold == pytest.approx(conf0 + 0.1)
+    assert msg.spatial_stride == stride0 + 1
+    assert msg.max_gaussians == 2 * 1024 * 1024
+    assert msg.C_conf_threshold == pytest.approx(st.C_conf_threshold)
