@@ -221,3 +221,95 @@ def test_from_calib_disabled_returns_none():
     assert not cfgmod.config.get("use_calib", False)
     assert dl.Intrinsics.from_calib(
         512, 640, 480, [500.0, 500.0, 320.0, 240.0]) is None
+
+
+def test_webcam_mocked(monkeypatch):
+    """Webcam loader logic with a mocked cv2.VideoCapture (no hardware):
+    frame reads convert BGR->RGB, timestamps accumulate at 30 Hz,
+    save_results stays off (reference dataloader.py webcam semantics)."""
+    frames = [np.full((8, 12, 3), v, np.uint8) for v in (10, 20, 30)]
+
+    class FakeCap:
+        def __init__(self, dev):
+            self.i = 0
+
+        def read(self):
+            if self.i >= len(frames):
+                return False, None
+            self.i += 1
+            return True, frames[self.i - 1]
+
+    monkeypatch.setattr(dl.cv2, "VideoCapture", FakeCap)
+    cam = dl.Webcam()
+    assert len(cam) == 999_999
+    assert cam.save_results is False
+    img0 = cam.read_img(0)
+    img1 = cam.read_img(1)
+    # BGR constant frames stay constant through the RGB conversion
+    assert img0.max() == 10 and img1.max() == 20
+    assert cam.get_timestamp(0) == 0.0
+    assert cam.get_timestamp(1) == pytest.approx(1 / 30.0)
+    with pytest.raises(ValueError):
+        for _ in range(3):
+            cam.read_img(2)  # exhausted capture surfaces a clear error
+
+
+def test_realsense_mocked(monkeypatch):
+    """RealsenseDataset wiring with a stub pyrealsense2 module: stream
+    config, timestamp conversion (ms->s), BGR->RGB conversion, and the
+    calibrated-intrinsics path (reference dataloader.py realsense)."""
+    import sys
+    import types
+
+    rs = types.SimpleNamespace()
+
+    class _Pipeline:
+        def start(self, cfg):
+            return types.SimpleNamespace(
+                get_stream=lambda s: "color_stream")
+
+        def wait_for_frames(self):
+            img = np.full((8, 12, 3), 42, np.uint8)
+            return types.SimpleNamespace(
+                get_timestamp=lambda: 1500.0,
+                get_color_frame=lambda: types.SimpleNamespace(
+                    get_data=lambda: img),
+            )
+
+    class _Config:
+        def __init__(self):
+            self.streams = []
+
+        def enable_stream(self, *a):
+            self.streams.append(a)
+
+    intr = types.SimpleNamespace(fx=400.0, fy=400.0, ppx=320.0, ppy=240.0)
+    rs.pipeline = _Pipeline
+    rs.config = _Config
+    rs.stream = types.SimpleNamespace(color="color")
+    rs.format = types.SimpleNamespace(bgr8="bgr8")
+    rs.video_stream_profile = lambda s: types.SimpleNamespace(
+        get_intrinsics=lambda: intr)
+    monkeypatch.setitem(sys.modules, "pyrealsense2", rs)
+
+    cfgmod.config["use_calib"] = True
+    try:
+        ds = dl.RealsenseDataset()
+        ds.use_calibration = True
+        assert ds.save_results is False
+        assert (ds.h, ds.w) == (480, 640)
+        img = ds.read_img(0)
+        assert img.shape == (8, 12, 3) and img.max() == 42
+        assert ds.get_timestamp(0) == pytest.approx(1.5)  # ms -> s
+    finally:
+        cfgmod.config["use_calib"] = False
+
+
+def test_load_dataset_routes_live_sources(monkeypatch):
+    """'webcam'/'realsense' path tokens dispatch to the live loaders
+    (reference dataloader.py:320-338) — constructor stubs only."""
+    sentinel_w, sentinel_r = object(), object()
+    monkeypatch.setattr(dl, "Webcam", lambda: sentinel_w)
+    monkeypatch.setattr(dl, "RealsenseDataset", lambda: sentinel_r)
+    assert dl.load_dataset("webcam") is sentinel_w
+    assert dl.load_dataset("realsense") is sentinel_r
