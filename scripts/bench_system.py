@@ -145,6 +145,21 @@ def main():
 
     system = build_system()
 
+    def instrument_tasks(sysm, sink):
+        """Record per-backend-task wall time (worker thread included)."""
+        import time as _t
+
+        inner = sysm._run_backend_task
+
+        def timed(kf_idx, is_reloc_frame=None):
+            ts = _t.time()
+            try:
+                return inner(kf_idx, is_reloc_frame)
+            finally:
+                sink.append((kf_idx, _t.time() - ts))
+
+        sysm._run_backend_task = timed
+
     from splatt3r_slam_tpu.runtime.frame import Mode, create_frame
     from splatt3r_slam_tpu.runtime.system import should_append_gaussians
 
@@ -233,6 +248,13 @@ def main():
             sysm._stop = True
         drain_s[0] = time.time() - td0
         dt = time.time() - t0
+        # loop FPS = reference semantics (main.py:533-535 measures the
+        # frame loop; the backend runs concurrently and is never drained
+        # into the FPS print). The final drain is reported separately
+        # (t_drain_s + wall_fps_incl_drain) — it can be dominated by a
+        # one-off bucket compile when retrieval adds a never-seen edge
+        # count (multi-second through the remote tunnel).
+        loop_fps[0] = nloc / max(dt - drain_s[0], 1e-9)
         return nloc / dt, relocs
 
     # warmup: pays all compiles; freed before the timed run (its gaussian
@@ -245,16 +267,19 @@ def main():
 
     warm = build_system()
     n_warm = n if args.cadence else 6
-    get_waits, drain_s = [], [0.0]
+    get_waits, drain_s, loop_fps = [], [0.0], [0.0]
     drive(warm, SyntheticDataset(n_warm, h, w))
     del warm
     gc.collect()
 
-    times, get_waits, drain_s = [], [], [0.0]
+    times, get_waits, drain_s, loop_fps = [], [], [0.0], [0.0]
+    task_times = []
+    instrument_tasks(system, task_times)
     fps, relocs = drive(system, ds, collect=times)
     out = {
         "metric": "system_fps_512x384" if not args.tiny else "system_fps_tiny",
-        "value": round(fps, 3),
+        "value": round(loop_fps[0], 3),
+        "wall_fps_incl_drain": round(fps, 3),
         "unit": "frames/s",
         "frames": n,
         "keyframes": len(system.keyframes),
@@ -295,6 +320,9 @@ def main():
             "t_get_wait_sum_s": round(float(np.sum(get_waits)), 2)
             if get_waits else None,
             "t_drain_s": round(drain_s[0], 2),
+            "backend_task_ms": [
+                [int(k), round(1e3 * t, 1)] for k, t in task_times
+            ],
             "outlier_frames": [
                 [int(i), round(1e3 * t, 1)]
                 for i, (t, _) in enumerate(times) if t > 1.0
