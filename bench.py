@@ -77,7 +77,13 @@ def main():
     import jax.numpy as jnp
 
     if on_accel:
-        cfg = TwoViewConfig()  # ViT-L, bf16 transformer / f32 heads
+        # ViT-L, bf16 transformer + bf16 DPT trunks; BENCH_HEAD_DTYPE
+        # overrides for same-session precision A/Bs (tunnel throughput
+        # varies across sessions — only same-session comparisons are valid)
+        cfg = TwoViewConfig()
+        hd = os.environ.get("BENCH_HEAD_DTYPE")
+        if hd:
+            cfg = cfg._replace(head_dtype=hd)
         h, w = 384, 512
         n_frames = 40
     else:

@@ -188,7 +188,15 @@ def main(argv=None):
     (h, w), _ = dataset.get_img_shape()
     print(f"Working resolution: {h}x{w}")
 
-    cfg_model = TwoViewConfig()
+    # model precision profile: eval configs pin head_dtype float32 for the
+    # reference's exact head precision (mast3r_utils.py:37-40); the
+    # real-time profile defaults to the bf16 trunk (models/dpt.py note)
+    mknobs = cfgmod.config.get("model", {}) or {}
+    cfg_model = TwoViewConfig(
+        dtype=mknobs.get("dtype", TwoViewConfig._field_defaults["dtype"]),
+        head_dtype=mknobs.get(
+            "head_dtype", TwoViewConfig._field_defaults["head_dtype"]),
+    )
     if args.tiny_model:
         cfg_model = TwoViewConfig(dtype="float32",
                                   head_dtype="float32").tiny()

