@@ -12,9 +12,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's in-process collective rendezvous aborts the whole process if a
+# device thread arrives > timeout late (default 40 s, env-flag only — see
+# parallel/dryrun.py). 8 virtual devices timeshare this host's single
+# core, so heavy sharded steps need the headroom.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    _flags += " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
