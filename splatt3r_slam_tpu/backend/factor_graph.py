@@ -351,7 +351,12 @@ class FactorGraph:
             return False
         self.frames.append(frame)
         kf_idx = len(self.frames) - 1
-        retr = sorted(set(int(r) for r in retr))
+        # keep retrieval-SCORE order (dedupe preserving order): the pose is
+        # seeded from retr[0], which must be the best-scoring candidate,
+        # not the lowest-index one (main.py:109 `keyframes.T_WC[kf_idx[0]]`)
+        seen: set[int] = set()
+        retr = [int(r) for r in retr
+                if int(r) not in seen and not seen.add(int(r))]
         successful = self.add_factors(
             retr, [kf_idx] * len(retr),
             float(rcfg["min_match_frac"]),
@@ -359,7 +364,7 @@ class FactorGraph:
         )
         if successful:
             self.retrieval.add_to_database(frame)
-            # seed pose from the best retrieved keyframe (main.py:96-101)
+            # seed pose from the top-scoring retrieved keyframe (main.py:96-109)
             frame.T_WC = self.frames[retr[0]].T_WC
             frame.T_WC_host = None  # stale after the reseed
             self.frames[kf_idx] = frame

@@ -156,15 +156,30 @@ def read_tum_trajectory(path):
 
 
 def associate(t_a, t_b, max_dt=0.02):
-    """Greedy nearest-timestamp association (TUM benchmark convention)."""
+    """One-to-one timestamp association (TUM benchmark / evo convention).
+
+    All candidate pairs within max_dt are sorted by |dt| and accepted
+    greedily, each stamp used at most once — matching the TUM RGB-D
+    benchmark's associate.py (and evo's TUM association), so a dense
+    trajectory can never map many GT stamps onto one estimated pose.
+    """
+    t_a = np.asarray(t_a, dtype=np.float64)
+    t_b = np.asarray(t_b, dtype=np.float64)
+    dt = np.abs(t_a[:, None] - t_b[None, :])
+    ii, jj = np.nonzero(dt < max_dt)
+    order = np.argsort(dt[ii, jj], kind="stable")
+    used_a = np.zeros(len(t_a), bool)
+    used_b = np.zeros(len(t_b), bool)
     ia, ib = [], []
-    j = 0
-    for i, ta in enumerate(t_a):
-        j = int(np.argmin(np.abs(t_b - ta)))
-        if abs(t_b[j] - ta) < max_dt:
+    for k in order:
+        i, j = int(ii[k]), int(jj[k])
+        if not used_a[i] and not used_b[j]:
+            used_a[i] = used_b[j] = True
             ia.append(i)
             ib.append(j)
-    return np.asarray(ia), np.asarray(ib)
+    # time order (alignment is order-invariant; keeps output deterministic)
+    sort = np.argsort(ia)
+    return np.asarray(ia)[sort], np.asarray(ib)[sort]
 
 
 def ate_rmse(gt_file, est_file, max_dt=0.02, with_scale=True):

@@ -112,3 +112,63 @@ def test_fixture_loader_roundtrip():
         assert ds_c.camera_intrinsics.K_frame[0, 0] > 0
     finally:
         cfgmod.config["use_calib"] = prev
+
+
+def test_associate_is_one_to_one():
+    """Regression: the built-in ATE used greedy-nearest association that
+    could map many GT stamps onto one estimated pose; evo's TUM
+    association is one-to-one (best-|dt|-first greedy matching, each
+    stamp used once — the TUM RGB-D benchmark associate.py algorithm)."""
+    from splatt3r_slam_tpu.runtime.evaluate import associate
+
+    t_gt = np.array([0.0, 0.008, 1.0])
+    t_es = np.array([0.005, 1.0])
+    ia, ib = associate(t_gt, t_es, max_dt=0.02)
+    # est stamp 0.005 is nearest to BOTH 0.0 and 0.008: it must pair only
+    # with 0.008 (smaller |dt|), leaving GT 0.0 unmatched
+    assert len(set(ib.tolist())) == len(ib), "est stamps must be unique"
+    assert list(zip(ia.tolist(), ib.tolist())) == [(1, 0), (2, 1)]
+
+
+def test_ate_rmse_matches_tum_benchmark_association(tmp_path):
+    """RMSE on a duplicate-nearest-stamp case must equal the value under
+    the TUM benchmark's one-to-one association, computed independently
+    here (sort-by-dt greedy, the exact associate.py algorithm evo uses)."""
+    from splatt3r_slam_tpu.runtime.evaluate import (ate_rmse,
+                                                    umeyama_alignment)
+
+    rng = np.random.default_rng(3)
+    # GT: dense stamps; est: sparse keyframe stamps slightly offset so
+    # several GT stamps share a nearest est stamp
+    t_gt = np.arange(0.0, 1.0, 0.05)
+    p_gt = np.cumsum(rng.normal(size=(len(t_gt), 3)), axis=0) * 0.1
+    keep = np.arange(0, len(t_gt), 3)
+    t_es = t_gt[keep] + 0.004
+    p_es = p_gt[keep] + rng.normal(size=(len(keep), 3)) * 0.01
+
+    def write(path, t, p):
+        q = np.tile([0, 0, 0, 1.0], (len(t), 1))
+        np.savetxt(path, np.column_stack([t, p, q]))
+
+    gt_f, es_f = tmp_path / "gt.txt", tmp_path / "est.txt"
+    write(gt_f, t_gt, p_gt)
+    write(es_f, t_es, p_es)
+
+    # independent re-derivation of TUM associate.py
+    pairs = sorted((abs(a - b), i, j) for i, a in enumerate(t_gt)
+                   for j, b in enumerate(t_es) if abs(a - b) < 0.02)
+    ua, ub, match = set(), set(), []
+    for _, i, j in pairs:
+        if i not in ua and j not in ub:
+            ua.add(i); ub.add(j); match.append((i, j))
+    match.sort()
+    g = p_gt[[i for i, _ in match]]
+    e = p_es[[j for _, j in match]]
+    s, R, t = umeyama_alignment(e, g)
+    expected = float(np.sqrt((np.linalg.norm(
+        (s * (R @ e.T)).T + t - g, axis=1) ** 2).mean()))
+
+    got = ate_rmse(str(gt_f), str(es_f), max_dt=0.02)
+    assert abs(got - expected) < 1e-12
+    # and the association is strictly one-to-one (10 est stamps, <=10 pairs)
+    assert len(match) == len(keep)
