@@ -85,13 +85,23 @@ def render_depth(means, cov_triu, opa, view, K, hw, mode: str = "depth",
 
 
 class DecoderSplatting:
-    """pixelsplat-style batch renderer over the TPU rasterizer."""
+    """pixelsplat-style batch renderer over the TPU rasterizer.
+
+    rasterizer: "auto" picks the Pallas compositor on TPU (now
+    differentiable via its custom VJP — training's render loss runs the
+    production kernel, matching cuda_splatting.py:100-128) and the XLA
+    compositor elsewhere."""
 
     def __init__(self, background_color=(0.0, 0.0, 0.0), k_max=512,
-                 tpg_side=4):
+                 tpg_side=4, rasterizer: str = "auto"):
         self.bg = jnp.asarray(background_color, jnp.float32)
         self.k_max = k_max
         self.tpg_side = tpg_side
+        if rasterizer == "auto":
+            from splatt3r_slam_tpu.splat.rasterizer import default_rasterizer
+
+            rasterizer = default_rasterizer()
+        self.rasterizer = rasterizer
 
     def __call__(self, batch, pred1, pred2, image_shape):
         """batch: {'context': [{'camera_pose' (B,4,4)}],
@@ -150,6 +160,19 @@ class DecoderSplatting:
             axis=1,
         )
 
+        if self.rasterizer == "pallas":
+            from splatt3r_slam_tpu.splat.pallas_rasterizer import (
+                render_tiles_pallas,
+            )
+
+            raster = functools.partial(render_tiles_pallas,
+                                       tpg_side=self.tpg_side,
+                                       k_max=self.k_max)
+        else:
+            raster = functools.partial(render_tiles,
+                                       tpg_side=self.tpg_side,
+                                       k_max=self.k_max)
+
         B, V = extr.shape[:2]
         near = 0.1
         imgs = []
@@ -161,10 +184,8 @@ class DecoderSplatting:
                 E = extr[b, v]
                 E = E.at[:3, 3].multiply(scale)
                 view = jnp.linalg.inv(E)  # world→cam
-                img = render_tiles(
-                    m, c, colors[b], opa[b], view, intr[b, v], (H, W),
-                    self.bg, tpg_side=self.tpg_side, k_max=self.k_max,
-                )
+                img = raster(m, c, colors[b], opa[b], view, intr[b, v],
+                             (H, W), self.bg)
                 imgs.append(img)
         color = jnp.stack(imgs).reshape(B, V, H, W, 3)
         return color.transpose(0, 1, 4, 2, 3), None

@@ -29,8 +29,12 @@ Mosaic layout constraints (v5e, f32 tiling (8, 128)) shape the data plane:
 
 Replaces the compositing loop of `diff-gaussian-rasterization`
 (reference call sites `cuda_splatting.py:100-128`,
-`splatt3r_slam/visualization.py:563-594`). Exact-compositing oracle for
-tests: `rasterizer.render_bruteforce`.
+`splatt3r_slam/visualization.py:563-594`), including its
+differentiability: `_composite` carries a custom VJP whose backward is
+a second Mosaic pass (`_composite_bwd_kernel`, front-to-back with
+transmittance/accumulator carries in VMEM scratch across the chunk grid
+axis), so training's render loss can run this kernel. Exact-compositing
+oracle for tests: `rasterizer.render_bruteforce`.
 """
 
 from __future__ import annotations
@@ -39,6 +43,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -167,6 +172,212 @@ def _composite_kernel(
     out_ref[:, 3:4] = trans
 
 
+def _composite_fwd_call(counts, origins, rows, bg2, *, T, kchunks,
+                        interpret):
+    """The forward pallas_call (shared by primal and VJP-forward)."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
+        ],
+        out_specs=pl.BlockSpec(
+            (NPIX, 4), lambda t, *_: (t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ROWF, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_composite_kernel, kchunks=kchunks),
+        out_shape=jax.ShapeDtypeStruct((T * NPIX, 4), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(counts, origins, rows, bg2)
+
+
+def _composite_bwd_kernel(
+    # scalar prefetch
+    counts_ref,  # (T,) int32
+    origins_ref,  # (T, 2) int32
+    # inputs (auto-pipelined blocks)
+    rows_ref,  # (ROWF, CHUNK) — chunk (t, k) of the attribute rows
+    gout_ref,  # (NPIX, 4) — output cotangent for tile t
+    out_ref,  # (NPIX, 4) — saved forward output for tile t
+    # output
+    grows_ref,  # (ROWF, CHUNK) — gradient rows for chunk (t, k)
+    # scratch (persists across the sequential k axis of the grid)
+    trans_s,  # (NPIX, 1) — transmittance in front of this chunk
+    acc_s,  # (NPIX, 1) — Σ_{j≤processed} (g_rgb·c_j)·w_j
+):
+    """Backward compositing pass, front-to-back like the forward.
+
+    Per pixel p with cotangents g_rgb, g_T and D = g·out (which already
+    folds the background and final-transmittance terms):
+      dL/dα_i = (g_rgb·c_i)·T_excl_i − (D − A_{≤i})/(1−α_i)
+      dL/dc_i = Σ_p g_rgb·w_i,     A_{≤i} = Σ_{j≤i} (g_rgb·c_j)·w_j
+    then the pointwise chain through α = min(0.99, opa·e^P) and the
+    conic quadratic P gives the u/v/conic/opacity gradients (the same
+    derivative structure as diff-gaussian-rasterization's backward,
+    cuda_splatting.py:100-128). Carries (T_excl, A) live in VMEM scratch
+    across the k grid axis; chunk blocks are auto-pipelined."""
+    t = pl.program_id(0)
+    k = pl.program_id(1)
+    n = counts_ref[t]
+
+    @pl.when(k == 0)
+    def _():
+        trans_s[...] = jnp.ones((NPIX, 1), jnp.float32)
+        acc_s[...] = jnp.zeros((NPIX, 1), jnp.float32)
+
+    ox = origins_ref[t, 0]
+    oy = origins_ref[t, 1]
+    pid = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
+    px = (pid % TILE + ox).astype(jnp.float32) + 0.5
+    py = (pid // TILE + oy).astype(jnp.float32) + 0.5
+
+    gout = gout_ref[...]  # (NPIX, 4)
+    outv = out_ref[...]
+    g_rgb = gout[:, 0:3]
+    D = jnp.sum(gout * outv, axis=1, keepdims=True)  # (NPIX, 1)
+
+    rows = rows_ref[...]  # (ROWF, CHUNK)
+    u = rows[0:1, :]
+    v = rows[1:2, :]
+    ca = rows[2:3, :]
+    cb = rows[3:4, :]
+    cc = rows[4:5, :]
+    opa = rows[5:6, :]
+    col = rows[6:9, :]  # (3, CHUNK)
+
+    du = px - u  # (NPIX, CHUNK)
+    dv = py - v
+    power = -0.5 * (ca * du * du + cc * dv * dv) - cb * du * dv
+    expp = jnp.exp(power)
+    raw = opa * expp
+    alpha = jnp.minimum(0.99, raw)
+    alpha = jnp.where(alpha < (1.0 / 255.0), 0.0, alpha)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + k * CHUNK
+    inrange = j < n
+    alpha = jnp.where(inrange, alpha, 0.0)
+
+    one_m = 1.0 - alpha
+    logs = jnp.log(jnp.maximum(one_m, 1e-30))
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    triu = (r_i <= c_i).astype(jnp.float32)
+    cumlog = jnp.dot(logs, triu, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    prod_incl = jnp.exp(cumlog)
+    prod_excl = prod_incl / one_m
+    trans = trans_s[...]  # (NPIX, 1)
+    t_excl = prod_excl * trans  # (NPIX, CHUNK) transmittance in front of i
+    w = alpha * t_excl
+
+    # gc[p, i] = g_rgb[p]·col[i]  (3 outer products — K=3 matmuls are
+    # MXU-hostile)
+    gc = (g_rgb[:, 0:1] * col[0:1, :] + g_rgb[:, 1:2] * col[1:2, :]
+          + g_rgb[:, 2:3] * col[2:3, :])
+    s = gc * w
+    a_incl = jnp.dot(s, triu, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) + acc_s[...]
+    d_alpha = gc * t_excl - (D - a_incl) / one_m  # (NPIX, CHUNK)
+
+    # chain through the clamps: α is constant where raw ≥ 0.99 (min) or
+    # raw < 1/255 (zeroed) or beyond the tile's count
+    active = (raw < 0.99) & (raw >= 1.0 / 255.0) & inrange
+    pg = jnp.where(active, d_alpha * alpha, 0.0)  # dL/dP (α = raw here)
+    d_opa = jnp.sum(jnp.where(active, d_alpha * expp, 0.0),
+                    axis=0, keepdims=True)  # (1, CHUNK)
+
+    # P = −½(ca·du² + cc·dv²) − cb·du·dv;  du = px − u ⇒ ∂du/∂u = −1
+    d_u = jnp.sum(pg * (ca * du + cb * dv), axis=0, keepdims=True)
+    d_v = jnp.sum(pg * (cc * dv + cb * du), axis=0, keepdims=True)
+    d_ca = jnp.sum(pg * (-0.5 * du * du), axis=0, keepdims=True)
+    d_cb = jnp.sum(pg * (-du * dv), axis=0, keepdims=True)
+    d_cc = jnp.sum(pg * (-0.5 * dv * dv), axis=0, keepdims=True)
+    d_col = jnp.concatenate(
+        [jnp.sum(g_rgb[:, r:r + 1] * w, axis=0, keepdims=True)
+         for r in range(3)], axis=0)  # (3, CHUNK)
+
+    grows_ref[...] = jnp.concatenate(
+        [d_u, d_v, d_ca, d_cb, d_cc, d_opa, d_col,
+         jnp.zeros((ROWF - 9, CHUNK), jnp.float32)], axis=0)
+
+    trans_s[...] = trans * jax.lax.slice(prod_incl, (0, CHUNK - 1),
+                                         (NPIX, CHUNK))
+    acc_s[...] = jax.lax.slice(a_incl, (0, CHUNK - 1), (NPIX, CHUNK))
+
+
+def _composite_bwd_call(counts, origins, rows, gout, out, *, T, kchunks,
+                        interpret):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T, kchunks),
+        in_specs=[
+            pl.BlockSpec((ROWF, CHUNK),
+                         lambda t, k, *_: (0, t * kchunks + k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NPIX, 4), lambda t, k, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NPIX, 4), lambda t, k, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ROWF, CHUNK), lambda t, k, *_: (0, t * kchunks + k),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NPIX, 1), jnp.float32),
+            pltpu.VMEM((NPIX, 1), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _composite_bwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((ROWF, T * kchunks * CHUNK),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(counts, origins, rows, gout, out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _composite(T, kchunks, interpret, counts, origins, rows, bg2):
+    """Differentiable per-tile compositing (custom VJP boundary).
+
+    Primal = the forward Mosaic kernel; backward = a second Mosaic pass
+    (`_composite_bwd_kernel`) producing gradient rows in the same
+    (ROWF, T·K_MAX) layout. Gradients for the gather that built `rows`
+    and for the projection math are left to XLA autodiff outside this
+    boundary — replacing diff-gaussian-rasterization's differentiability
+    contract (cuda_splatting.py:100-128)."""
+    return _composite_fwd_call(counts, origins, rows, bg2,
+                               T=T, kchunks=kchunks, interpret=interpret)
+
+
+def _composite_fwd(T, kchunks, interpret, counts, origins, rows, bg2):
+    out = _composite_fwd_call(counts, origins, rows, bg2,
+                              T=T, kchunks=kchunks, interpret=interpret)
+    return out, (counts, origins, rows, out)
+
+
+def _composite_bwd(T, kchunks, interpret, res, gout):
+    counts, origins, rows, out = res
+    grows = _composite_bwd_call(counts, origins, rows, gout, out,
+                                T=T, kchunks=kchunks, interpret=interpret)
+    # rgb += T_final·bg per pixel ⇒ d_bg = Σ_p g_rgb·T_final
+    d_bg = jnp.sum(gout[:, 0:3] * out[:, 3:4], axis=0).reshape(1, 3)
+    d_counts = np.zeros(counts.shape, jax.dtypes.float0)
+    d_origins = np.zeros(origins.shape, jax.dtypes.float0)
+    return d_counts, d_origins, grows, d_bg
+
+
+_composite.defvjp(_composite_fwd, _composite_bwd)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("hw", "tpg_side", "k_max", "interpret"))
 def render_tiles_pallas(
@@ -204,28 +415,8 @@ def render_tiles_pallas(
          (jnp.arange(T, dtype=jnp.int32) // TX) * TILE], axis=-1
     )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
-        ],
-        out_specs=pl.BlockSpec(
-            (NPIX, 4), lambda t, *_: (t, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, ROWF, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_composite_kernel, kchunks=k_max // CHUNK),
-        out_shape=jax.ShapeDtypeStruct((T * NPIX, 4), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(counts, origins, rows, bg.reshape(1, 3).astype(jnp.float32))
+    out = _composite(T, k_max // CHUNK, interpret, counts, origins, rows,
+                     bg.reshape(1, 3).astype(jnp.float32))
 
     rgb = out[:, :3].reshape(TY, TX, TILE, TILE, 3)
     img = rgb.transpose(0, 2, 1, 3, 4).reshape(H, W, 3)

@@ -44,8 +44,9 @@ def default_rasterizer() -> str:
     production gaussian count — 28/58/292 ms vs XLA's 39/63/303 ms at
     0.4/1/4M, logs/bench_rasterizer_tpu_v5e.json), 'xla' elsewhere
     (Mosaic kernels need a TPU; CPU tests/dryruns use the XLA
-    compositor). The trainer always uses the XLA path: the Pallas
-    kernel has no VJP and the render loss needs gradients."""
+    compositor). The Pallas compositor is differentiable (custom VJP,
+    `pallas_rasterizer._composite`), so training's render loss also
+    runs it on TPU."""
     import jax
 
     return "pallas" if jax.default_backend() == "tpu" else "xla"

@@ -73,3 +73,113 @@ def test_loss_mask_geometry():
 
     lm = calculate_loss_mask(depth, K, T, K[None], T[None], (h, w))
     assert bool(lm.all())
+
+
+def test_pallas_vjp_matches_xla_gradients():
+    """The Pallas compositor's custom VJP (backward Mosaic pass) must
+    produce the same gradients as XLA autodiff through the XLA tile
+    compositor — for every differentiable input (means, covariances,
+    colors, opacities, background). k_max=256 exercises the cross-chunk
+    transmittance/accumulator carries (CHUNK=128)."""
+    from splatt3r_slam_tpu.splat.gaussians import (build_covariance,
+                                                   cov_to_triu)
+    from splatt3r_slam_tpu.splat.pallas_rasterizer import render_tiles_pallas
+    from splatt3r_slam_tpu.splat.rasterizer import render_tiles
+
+    K = jnp.array([[80.0, 0, 32], [0, 80, 32], [0, 0, 1]])
+    VIEW = jnp.eye(4)
+    HW = (64, 64)
+    rng = np.random.default_rng(0)
+    G = 180
+    means = rng.normal(size=(G, 3)).astype(np.float32) * 2.0
+    means[:, 2] = np.abs(means[:, 2]) + 4.0
+    scales = (0.05 + 0.1 * rng.random((G, 3))).astype(np.float32)
+    q = rng.normal(size=(G, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    covt = cov_to_triu(build_covariance(jnp.asarray(scales),
+                                        jnp.asarray(q)))
+    colors = jnp.asarray(rng.random((G, 3)).astype(np.float32))
+    opa = jnp.asarray((0.3 + 0.7 * rng.random(G)).astype(np.float32))
+    means = jnp.asarray(means)
+    cot = jnp.asarray(rng.normal(size=(64, 64, 3)).astype(np.float32))
+    bg = jnp.array([0.1, 0.2, 0.3])
+
+    def loss_p(m, c, col, o, b):
+        return jnp.sum(render_tiles_pallas(
+            m, c, col, o, VIEW, K, HW, b, k_max=256, interpret=True) * cot)
+
+    def loss_x(m, c, col, o, b):
+        return jnp.sum(render_tiles(
+            m, c, col, o, VIEW, K, HW, b, k_max=256) * cot)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4))(
+        means, covt, colors, opa, bg)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3, 4))(
+        means, covt, colors, opa, bg)
+    for name, a, b in zip(["means", "cov", "colors", "opa", "bg"], gp, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        np.testing.assert_allclose(
+            a, b, atol=1e-5 * (np.abs(b).max() + 1e-8), rtol=1e-4,
+            err_msg=f"gradient mismatch for {name}")
+
+
+def test_trainer_render_loss_on_pallas_rasterizer():
+    """One render-loss train step with the decoder forced onto the
+    Pallas compositor (interpret mode on CPU): finite loss, gaussian
+    heads updated — proves the production kernel is trainable."""
+    from splatt3r_slam_tpu.splat import DecoderSplatting
+
+    mesh = make_mesh(1)
+    cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
+    tcfg = TrainConfig(render_loss=True, train_gaussian_heads_only=True,
+                       lr=1e-3, k_max=128)
+    trainer = Trainer(cfg, tcfg, mesh=mesh)
+    h = w = 32
+    params, opt_state, pshard = trainer.init_state(h, w)
+
+    import splatt3r_slam_tpu.parallel.trainer as trainer_mod
+
+    class PallasInterpretDecoder(DecoderSplatting):
+        def __init__(self, *a, **kw):
+            kw["rasterizer"] = "pallas"
+            super().__init__(*a, **kw)
+
+        def __call__(self, *a, **kw):
+            import unittest.mock as mock
+            from splatt3r_slam_tpu.splat import pallas_rasterizer as pr
+            real = pr.render_tiles_pallas
+            with mock.patch.object(
+                    pr, "render_tiles_pallas",
+                    lambda *ra, **rkw: real(*ra, **{**rkw,
+                                                    "interpret": True})):
+                return super().__call__(*a, **kw)
+
+    rng = np.random.default_rng(0)
+    B, V = 1, 1
+    eye = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+    K = jnp.broadcast_to(
+        jnp.array([[40.0, 0, 16], [0, 40, 16], [0, 0, 1]]), (B, V, 3, 3))
+    batch = {
+        "img1": jnp.asarray(rng.normal(size=(B, h, w, 3)), jnp.float32),
+        "img2": jnp.asarray(rng.normal(size=(B, h, w, 3)), jnp.float32),
+        "context_pose": eye,
+        "target_pose": eye[:, None],
+        "target_K": K,
+        "target_img": jnp.asarray(rng.random((B, V, h, w, 3)), jnp.float32),
+    }
+    import unittest.mock as mock
+    with mock.patch.object(trainer_mod, "_decoder_cls",
+                           PallasInterpretDecoder, create=True):
+        # loss_fn imports DecoderSplatting lazily; patch at its source
+        import splatt3r_slam_tpu.splat as splat_mod
+        with mock.patch.object(splat_mod, "DecoderSplatting",
+                               PallasInterpretDecoder):
+            step = trainer.make_train_step(pshard)
+            before = np.asarray(
+                params["head1"]["gaussian_dpt"]["head_4"]["kernel"])
+            params, opt_state, m = step(params, opt_state, batch)
+            assert np.isfinite(float(m["loss"]))
+            after = np.asarray(
+                params["head1"]["gaussian_dpt"]["head_4"]["kernel"])
+            assert not np.allclose(before, after)
