@@ -158,6 +158,15 @@ class SevenScenesDataset(MonocularDataset):
 
 
 class MP4Dataset(MonocularDataset):
+    """MP4 video source with a sequential-decode fast path.
+
+    The SLAM loop reads frames in order; per-frame `cap.set(POS_FRAMES)`
+    forces the decoder back to the nearest keyframe and re-decodes
+    forward every time (the reference avoids this with torchcodec,
+    dataloader.py:236-244 — not in this image). Instead, track the
+    capture's cursor and only `grab()` (decode without conversion/copy)
+    past skipped frames; random access falls back to a seek."""
+
     def __init__(self, dataset_path):
         super().__init__()
         self.use_calibration = False
@@ -167,6 +176,7 @@ class MP4Dataset(MonocularDataset):
         self.total_frames = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
         self.stride = config["dataset"]["subsample"]
         self.timestamps = []
+        self._pos = 0  # raw frame index the capture will decode next
 
     def __len__(self):
         return self.total_frames // self.stride
@@ -175,11 +185,19 @@ class MP4Dataset(MonocularDataset):
         return self.timestamps[idx] if idx < len(self.timestamps) else idx / self.fps
 
     def read_img(self, idx):
-        self.cap.set(cv2.CAP_PROP_POS_FRAMES, idx * self.stride)
+        target = idx * self.stride
+        if target < self._pos:  # rewind: the one case that needs a seek
+            self.cap.set(cv2.CAP_PROP_POS_FRAMES, target)
+            self._pos = target
+        while self._pos < target:
+            if not self.cap.grab():
+                raise ValueError(f"Failed to read frame {idx}")
+            self._pos += 1
         ret, img = self.cap.read()
         if not ret:
             raise ValueError(f"Failed to read frame {idx}")
-        self.timestamps.append(idx * self.stride / self.fps)
+        self._pos += 1
+        self.timestamps.append(target / self.fps)
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
     def subsample(self, stride):

@@ -313,3 +313,91 @@ def test_load_dataset_routes_live_sources(monkeypatch):
     monkeypatch.setattr(dl, "RealsenseDataset", lambda: sentinel_r)
     assert dl.load_dataset("webcam") is sentinel_w
     assert dl.load_dataset("realsense") is sentinel_r
+
+
+def test_mp4_sequential_fast_path(tmp_path):
+    """Sequential reads must not seek (cap.set rewinds the decoder to a
+    keyframe and re-decodes forward every frame); random access (rewind)
+    must still work and return the same frames."""
+    path = tmp_path / "seq.mp4"
+    wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                         30.0, (64, 48))
+    if not wr.isOpened():
+        pytest.skip("no mp4 encoder in this OpenCV build")
+    rng = np.random.default_rng(1)
+    n = 24
+    for _ in range(n):
+        wr.write((rng.random((48, 64, 3)) * 255).astype(np.uint8))
+    wr.release()
+
+    class SeekCountingCap:
+        """cv2.VideoCapture attrs are read-only; delegate + count seeks."""
+
+        def __init__(self, cap, seeks):
+            self._cap, self._seeks = cap, seeks
+
+        def set(self, prop, val):
+            if prop == cv2.CAP_PROP_POS_FRAMES:
+                self._seeks.append(val)
+            return self._cap.set(prop, val)
+
+        def __getattr__(self, name):
+            return getattr(self._cap, name)
+
+    ds = dl.load_dataset(str(path))
+    seeks = []
+    ds.cap = SeekCountingCap(ds.cap, seeks)
+    seq = [ds.read_img(i) for i in range(n)]
+    assert seeks == [], "sequential decode must not seek"
+
+    # stride > 1 skips via grab(), still no seek
+    ds2 = dl.load_dataset(str(path))
+    ds2.subsample(3)
+    ds2.cap = SeekCountingCap(ds2.cap, seeks)
+    strided = [ds2.read_img(i) for i in range(len(ds2))]
+    assert seeks == [], "strided sequential decode must not seek"
+    for k, img in enumerate(strided):
+        np.testing.assert_array_equal(img, seq[3 * k])
+
+    # rewind: one seek, identical pixels
+    again = ds.read_img(5)
+    assert seeks == [5]
+    np.testing.assert_array_equal(again, seq[5])
+
+
+def test_mp4_sequential_throughput(tmp_path):
+    """The grab()-based sequential path must beat per-frame POS_FRAMES
+    seeks on a long-GOP stream (VERDICT r03 next-9 done-criterion)."""
+    import time
+
+    path = tmp_path / "tp.mp4"
+    wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                         30.0, (320, 240))
+    if not wr.isOpened():
+        pytest.skip("no mp4 encoder in this OpenCV build")
+    rng = np.random.default_rng(2)
+    base = (rng.random((240, 320, 3)) * 255).astype(np.uint8)
+    n = 90
+    for i in range(n):
+        frame = np.roll(base, i, axis=1)  # inter-coded motion, long GOP
+        wr.write(frame)
+    wr.release()
+
+    ds = dl.load_dataset(str(path))
+    t0 = time.perf_counter()
+    for i in range(n):
+        ds.read_img(i)
+    t_fast = time.perf_counter() - t0
+
+    cap = cv2.VideoCapture(str(path))
+    t0 = time.perf_counter()
+    for i in range(n):
+        cap.set(cv2.CAP_PROP_POS_FRAMES, i)
+        ok, img = cap.read()
+        assert ok
+        cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    t_seek = time.perf_counter() - t0
+    cap.release()
+
+    assert t_fast < t_seek, (
+        f"sequential path {t_fast:.3f}s not faster than seek {t_seek:.3f}s")
