@@ -37,7 +37,13 @@ def parse_args(argv=None):
     p.add_argument("--calib", default="", help="intrinsics YAML override")
     p.add_argument("--checkpoint", default=None,
                    help="Splatt3R .ckpt / MASt3R .pth (torch) to convert; "
-                        "omit for local checkpoints/ or random weights")
+                        "omit to resolve local checkpoints/ then the HF "
+                        "hub (reference splatt3r_utils.py:30-65), falling "
+                        "back to random weights")
+    p.add_argument("--require-checkpoint", action="store_true",
+                   help="error out instead of falling back to random "
+                        "weights (eval scripts: an ATE on random weights "
+                        "is meaningless)")
     p.add_argument("--retrieval-checkpoint", default=None)
     p.add_argument("--codebook", default=None)
     p.add_argument("--save-as", default="default")
@@ -84,12 +90,19 @@ def load_model_params(args, cfg_model, h, w):
     from splatt3r_slam_tpu.models import Splatt3RModel
     from splatt3r_slam_tpu.models.checkpoint import load_splatt3r_params
 
+    from splatt3r_slam_tpu.models.checkpoint import resolve_checkpoint
+
     model = Splatt3RModel(cfg_model)
     ckpt = args.checkpoint
     if ckpt is None:
-        local = pathlib.Path("checkpoints/epoch=19-step=1200.ckpt")
-        if local.exists():
-            ckpt = str(local)
+        # explicit path > local checkpoints/ > HF hub download — same
+        # chain as the reference's load_splatt3r (splatt3r_utils.py:30-65)
+        try:
+            ckpt = resolve_checkpoint(None)
+        except FileNotFoundError as e:
+            if getattr(args, "require_checkpoint", False):
+                raise SystemExit(f"--require-checkpoint: {e}")
+            print(f"checkpoint resolution failed: {e}")
     if ckpt is not None:
         print(f"Loading Splatt3R checkpoint: {ckpt}")
         params = load_splatt3r_params(ckpt, cfg_model)

@@ -6,7 +6,17 @@ set -e
 DATASET_ROOT=${DATASET_ROOT:-datasets/tum}
 CONFIG=${CONFIG:-config/eval_no_calib.yaml}
 SAVE_AS=${SAVE_AS:-tum_eval}
-EXTRA_ARGS=${EXTRA_ARGS:-}
+# --require-checkpoint: resolve local checkpoints/ then the HF hub and
+# ABORT rather than produce a random-weights ATE. The moment the machine
+# has checkpoint + dataset access, this script fills the ATE table
+# end-to-end with no edits (reference scripts/eval_tum.sh:33-52).
+EXTRA_ARGS=${EXTRA_ARGS:---require-checkpoint}
+
+# fetch missing sequences (no-op when already present or SEQS_OVERRIDE
+# points at a local fixture)
+if [ -z "${SEQS_OVERRIDE:-}" ] && [ ! -d "$DATASET_ROOT" ]; then
+  bash "$(dirname "$0")/download_tum.sh"
+fi
 
 SEQS=(rgbd_dataset_freiburg1_360 rgbd_dataset_freiburg1_desk \
       rgbd_dataset_freiburg1_desk2 rgbd_dataset_freiburg1_floor \

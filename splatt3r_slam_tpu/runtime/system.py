@@ -119,6 +119,11 @@ class SLAMSystem:
         self.pool = GaussianPool()
         self.mode = Mode.INIT
         self.current_frame = None
+        # constant-position motion model: every new frame's pose is seeded
+        # from the previous frame's (reference main.py:397-402). Without
+        # the seed the frontend GN starts at identity, whose error grows
+        # with trajectory length until the solve drops into a wrong basin.
+        self._last_frame_T_WC = None
         self.last_gs_frame_id = None
         self.last_gs_T_WC = None
         self.single_thread = bool(config.get("single_thread", True))
@@ -220,6 +225,10 @@ class SLAMSystem:
         decision (host-side, no recompile) — used by benchmarks to pin a
         keyframe cadence and by callers that need an anchor frame."""
         self.current_frame = frame  # viewer picture-in-picture panel
+        if self.mode != Mode.INIT and self._last_frame_T_WC is not None:
+            # seed from the last frame's pose (main.py:397-402) — a device
+            # array handoff, no host sync
+            frame.T_WC = self._last_frame_T_WC
         if self.mode == Mode.INIT:
             X, C = self.engine.inference_mono(frame)
             frame.update_pointmap(X, C, self.tracker.filtering_mode,
@@ -230,10 +239,12 @@ class SLAMSystem:
             # keyframes keep pointmaps only (newest stays renderable)
             self.keyframes.release_older_transients()
             self.mode = Mode.TRACKING
+            self._last_frame_T_WC = frame.T_WC
             return self.mode, True
 
         if self.mode == Mode.TRACKING:
             new_kf_dev, try_reloc = self.tracker.track(frame)
+            self._last_frame_T_WC = frame.T_WC
             new_kf = new_kf_dev or force_keyframe
             if try_reloc:
                 self.mode = Mode.RELOC
@@ -272,6 +283,7 @@ class SLAMSystem:
                 self.keyframes.release_older_transients()
                 self.mode = Mode.TRACKING
                 self.tracker.reset_idx_f2k()
+                self._last_frame_T_WC = frame.T_WC
             return self.mode, success
 
         raise RuntimeError(f"bad mode {self.mode}")

@@ -44,6 +44,10 @@ class WindowMsg:
     # display controls (reference GUI surface, visualization.py:303-448)
     render_mode: str = "rgb"  # "rgb" | "depth"
     show_images: bool = True  # keyframe strip + current-frame panel
+    # pointmap display when gs_on is off: "surfel" renders oriented
+    # discs through the device rasterizer (reference GLSL surfel mode,
+    # visualization.py:602-624); "scatter" is the cheap point fallback
+    pointmap_mode: str = "surfel"
 
 
 def depth2rgb(depth: np.ndarray, min_d=0.1, max_d=10.0):
@@ -270,10 +274,51 @@ class Viewer:
                              tuple(uv[j].astype(int)), (64, 255, 64), 1)
         return canvas
 
+    def render_surfel_view(self, T_WC_4x4):
+        """Pointmap surfel mode: keyframe pointmaps as oriented discs,
+        rasterized ON DEVICE by the same tile pipeline as the GS path
+        (reference GLSL surfel shaders, visualization.py:602-624 +
+        resources/programs/surfels.glsl — no GL needed here)."""
+        import jax.numpy as jnp
+
+        from splatt3r_slam_tpu.splat.gaussians import pointmap_to_surfels
+        from splatt3r_slam_tpu.splat.rasterizer import render_tiles
+
+        stride = max(1, int(self.state.spatial_stride))
+        parts = [[], [], [], []]
+        for kf in list(self.system.keyframes)[-16:]:
+            if kf.X_canon is None:
+                continue
+            hw = tuple(int(v) for v in
+                       np.asarray(kf.img_shape).reshape(-1)[:2])
+            X = kf.X_canon.reshape(hw[0], hw[1], 3)
+            col = jnp.asarray(uimg01(kf), jnp.float32)
+            out = pointmap_to_surfels(X, col, kf.T_WC, stride=stride)
+            for acc, o in zip(parts, out):
+                acc.append(o)
+        if not parts[0]:
+            return np.zeros((self.h, self.w, 3), np.float32)
+        means, cov, colors, opa = (jnp.concatenate(p) for p in parts)
+        view = np.linalg.inv(T_WC_4x4).astype(np.float32)
+        if self.rasterizer == "pallas":
+            from splatt3r_slam_tpu.splat.pallas_rasterizer import (
+                render_tiles_pallas,
+            )
+
+            img = render_tiles_pallas(
+                means, cov, colors, opa, jnp.asarray(view),
+                jnp.asarray(self.K), (self.h, self.w), k_max=self.k_max,
+            )
+        else:
+            img = render_tiles(
+                means, cov, colors, opa, jnp.asarray(view),
+                jnp.asarray(self.K), (self.h, self.w), k_max=self.k_max,
+            )
+        return np.clip(np.asarray(img), 0, 1)
+
     def render_pointmap_view(self, view):
-        """Pointmap scatter fallback when gs_on is off (reference surfel/
-        triangle GL modes, visualization.py:303-448): subsampled keyframe
-        points, far-to-near painter's order."""
+        """Pointmap scatter fallback (`pointmap_mode: "scatter"`):
+        subsampled keyframe points, far-to-near painter's order."""
         canvas = np.zeros((self.h, self.w, 3), np.float32)
         kfs = self.system.keyframes
         pts_all, col_all = [], []
@@ -317,6 +362,8 @@ class Viewer:
 
         if self.state.gs_on and data is not None:
             gs = (self.render_gs_view(T_cam) * 255).astype(np.uint8)
+        elif self.state.pointmap_mode == "surfel":
+            gs = (self.render_surfel_view(T_cam) * 255).astype(np.uint8)
         else:
             gs = (self.render_pointmap_view(view) * 255).astype(np.uint8)
         canvas = gs.copy()
@@ -361,6 +408,7 @@ class Viewer:
             for li, txt in enumerate((
                 "drag: orbit   shift/right-drag: pan   wheel: dolly",
                 "space pause  n next  q quit  g gaussians  x depth",
+                "p surfel/scatter pointmap",
                 "[/] conf  ,/. stride  -/= max gaussians  h help",
             )):
                 cv2.putText(canvas, txt, (8, 58 + 16 * li),
@@ -398,6 +446,10 @@ class Viewer:
             self.state.show_images = not self.state.show_images
         elif key == ord("g"):
             self.state.gs_on = not self.state.gs_on
+        elif key == ord("p"):
+            self.state.pointmap_mode = (
+                "scatter" if self.state.pointmap_mode == "surfel"
+                else "surfel")
         elif key == ord("k"):
             self.state.show_keyframes = not self.state.show_keyframes
         elif key == ord("e"):

@@ -206,3 +206,48 @@ def _gaussians_to_world_jit(preds, img_norm, T_WC, kw_items):
     return tuple(
         jnp.concatenate([o[k] for o in outs]) for k in range(4)
     )
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "flatten"))
+def pointmap_to_surfels(X_grid, color_grid, T_WC, stride: int = 4,
+                        flatten: float = 0.1):
+    """Oriented surfel gaussians from a keyframe pointmap grid.
+
+    Viewer parity for the reference's GLSL surfel pointmap mode
+    (`splatt3r_slam/visualization.py:602-624`,
+    `resources/programs/surfels.glsl`, which orients a camera-facing
+    disc by the local surface normal per point): each (strided)
+    pointmap sample becomes a disc Σ = r²(I − nnᵀ) + (flatten·r)²nnᵀ
+    with the normal from the grid-tangent cross product and radius
+    matched to the local sample spacing, so neighboring discs just
+    overlap. Rendered by the SAME device rasterizer as the GS path —
+    no GL needed.
+
+    X_grid: (H, W, 3) camera-frame pointmap; color_grid: (H, W, 3) in
+    [0, 1]; T_WC: (8,) Sim3. Returns (means_w (G,3), cov_triu (G,6),
+    colors (G,3), opa (G,)).
+    """
+    Xp = jnp.pad(X_grid, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    du = (Xp[1:-1, 2:] - Xp[1:-1, :-2]) * 0.5  # ∂X/∂u (per pixel)
+    dv = (Xp[2:, 1:-1] - Xp[:-2, 1:-1]) * 0.5
+    s = int(stride)
+    o = s // 2
+    X = X_grid[o::s, o::s].reshape(-1, 3)
+    du = du[o::s, o::s].reshape(-1, 3) * s  # per-sample spacing
+    dv = dv[o::s, o::s].reshape(-1, 3) * s
+    col = color_grid[o::s, o::s].reshape(-1, 3)
+    n = jnp.cross(du, dv)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    r = 0.6 * jnp.maximum(jnp.linalg.norm(du, axis=-1),
+                          jnp.linalg.norm(dv, axis=-1))[:, None]
+    nnT = n[:, :, None] * n[:, None, :]
+    eye = jnp.eye(3, dtype=X.dtype)[None]
+    cov = (r[..., None] ** 2) * (eye - nnT) \
+        + ((flatten * r)[..., None] ** 2) * nnT
+    # world transform [sR|t]: means = sR·X + t, Σw = (sR) Σ (sR)ᵀ
+    t, q, sc = sim3.split(T_WC)
+    R = sim3.quat_to_matrix(q) * sc[..., None]
+    means_w = X @ R.T + t
+    cov_w = jnp.einsum("ij,njk,lk->nil", R, cov, R)
+    opa = jnp.full((X.shape[0],), 0.95, X.dtype)
+    return means_w, cov_to_triu(cov_w), col, opa

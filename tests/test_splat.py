@@ -231,3 +231,53 @@ def test_stride_subsample(rng):
         sim3.identity(), spatial_stride=4,
     )
     assert mw.shape[0] == (h // 4) * (w // 4)
+
+
+def test_pointmap_to_surfels_plane_geometry(rng):
+    """Surfel construction (VERDICT r03 item 8): a flat z=d pointmap grid
+    must yield discs whose normal axis is z (eigenvalue (flatten·r)²),
+    tangent axes r² with r matched to the sample spacing, and means/covs
+    carried to world by the Sim3 [sR|t] transform."""
+    from splatt3r_slam_tpu.splat.gaussians import (
+        pointmap_to_surfels,
+        triu_to_cov,
+    )
+
+    h, w, d, stride = 16, 24, 2.0, 4
+    # pinhole grid on the z=d plane: spacing d/f per pixel
+    f = 40.0
+    u = (np.arange(w) - w / 2) / f
+    v = (np.arange(h) - h / 2) / f
+    X = np.stack(np.broadcast_arrays(u[None, :] * d, v[:, None] * d,
+                                     np.full((h, w), d)), -1)
+    col = rng.random((h, w, 3)).astype(np.float32)
+    T = jnp.asarray([0.3, -0.2, 0.1, 0, 0, 0, 1, 1.5], jnp.float32)
+
+    means, covt, colors, opa = pointmap_to_surfels(
+        jnp.asarray(X, jnp.float32), jnp.asarray(col), T, stride=stride)
+    g = (h // stride) * (w // stride)
+    assert means.shape == (g, 3) and covt.shape == (g, 6)
+    assert colors.shape == (g, 3) and opa.shape == (g,)
+
+    # means: world transform of the strided camera-frame samples
+    o = stride // 2
+    Xs = X[o::stride, o::stride].reshape(-1, 3)
+    np.testing.assert_allclose(
+        np.asarray(means), np.asarray(sim3.act(T, jnp.asarray(Xs))),
+        atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(colors), col[o::stride, o::stride].reshape(-1, 3),
+        atol=1e-6)
+
+    # covariance: normal = z (plane normal), flattened by flatten²;
+    # tangent radius 0.6·(stride·spacing); world scale s=1.5 squares in
+    cov = np.asarray(triu_to_cov(covt))
+    evals, evecs = np.linalg.eigh(cov)
+    spacing = d / f
+    r = 0.6 * stride * spacing
+    s = 1.5
+    np.testing.assert_allclose(evals[:, 0], (0.1 * r * s) ** 2, rtol=1e-4)
+    np.testing.assert_allclose(evals[:, 1:], (r * s) ** 2, rtol=1e-4)
+    # smallest-eigenvalue axis == plane normal (identity rotation)
+    nz = np.abs(evecs[:, :, 0][:, 2])
+    np.testing.assert_allclose(nz, 1.0, atol=1e-4)

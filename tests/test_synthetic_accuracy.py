@@ -37,6 +37,8 @@ from splatt3r_slam_tpu.tracking.tracker import (
     opt_pose_ray_dist_sim3,
 )
 
+from splatt3r_slam_tpu.runtime.oracle import PlaneSceneOracle
+
 H, W = 48, 64
 N = H * W
 FOCAL = float(W)
@@ -46,98 +48,26 @@ PLANE_D = 2.0
 
 
 def _rays():
-    u, v = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5,
-                       indexing="xy")
-    r = np.stack(
-        [(u - W / 2) / FOCAL, (v - H / 2) / FOCAL, np.ones_like(u)], -1
-    )
-    return r.reshape(-1, 3)  # (N, 3), v-major
+    return PlaneSceneOracle(H, W, FOCAL).rays
 
 
 def _gt_pointmap_cam(T, n, d):
-    """Per-pixel intersection with the plane n·X = d, camera coords."""
-    r = _rays()
-    Rw = (T[:3, :3] @ r.T).T
-    tstar = (d - n @ T[:3, 3]) / (Rw @ n)
-    return r * tstar[:, None]  # X_cam = t* · ray
+    return PlaneSceneOracle(H, W, FOCAL, n, d).gt_pointmap_cam(
+        np.asarray(T, np.float64))
 
 
 def _project_into(T_src, T_dst, n, d):
-    """Map src pixels' world points into dst's image: returns
-    (flat pixel idx (N,), in-bounds mask (N,), X in dst cam (N, 3))."""
-    Xc_src = _gt_pointmap_cam(T_src, n, d)
-    Xw = (T_src[:3, :3] @ Xc_src.T).T + T_src[:3, 3]
-    Xc = (T_dst[:3, :3].T @ (Xw - T_dst[:3, 3]).T).T
-    z = np.maximum(Xc[:, 2], 1e-9)
-    u = FOCAL * Xc[:, 0] / z + W / 2
-    v = FOCAL * Xc[:, 1] / z + H / 2
-    ui = np.clip(np.floor(u).astype(np.int64), 0, W - 1)
-    vi = np.clip(np.floor(v).astype(np.int64), 0, H - 1)
-    ok = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (Xc[:, 2] > 0)
-    return vi * W + ui, ok, Xc
+    return PlaneSceneOracle(H, W, FOCAL, n, d).project_into(
+        np.asarray(T_src, np.float64), np.asarray(T_dst, np.float64))
 
 
-class FakeEngine:
-    """Serves exact geometry; mirrors InferenceEngine's surface."""
-
-    CONF = 10.0
+class FakeEngine(PlaneSceneOracle):
+    """Exact-geometry engine at the test dims (the shared implementation
+    lives in `splatt3r_slam_tpu/runtime/oracle.py`; the closed-loop
+    benchmark uses the same class wrapping the real model)."""
 
     def __init__(self, plane_n=PLANE_N, plane_d=PLANE_D):
-        self.gt = {}  # frame_id -> 4x4 GT pose
-        self.n, self.d = plane_n, plane_d
-
-    def register(self, frame_id, T):
-        self.gt[frame_id] = T
-
-    def ensure_encoded(self, frame):
-        if frame.feat is None:
-            # encode the frame id so match_symmetric can recover GT
-            frame.feat = jnp.full((1, 1, 1), float(frame.frame_id))
-            frame.pos = jnp.zeros((1, 1, 2))
-
-    def ensure_gaussians(self, frame):
-        pass
-
-    def inference_mono(self, frame):
-        X = _gt_pointmap_cam(self.gt[frame.frame_id], self.n, self.d)
-        C = np.full((N, 1), self.CONF, np.float32)
-        return jnp.asarray(X, jnp.float32), jnp.asarray(C)
-
-    def match_asymmetric(self, frame, keyframe, idx_i2j_init=None):
-        Tf = self.gt[frame.frame_id]
-        Tk = self.gt[keyframe.frame_id]
-        # for each keyframe pixel: its match in the frame + its GT
-        # position in the frame's camera (the decoder cross-prediction)
-        idx, ok, Xkf = _project_into(Tk, Tf, self.n, self.d)
-        Xff = _gt_pointmap_cam(Tf, self.n, self.d)
-        ones = np.full((N, 1), self.CONF, np.float32)
-        return (
-            jnp.asarray(idx[None], jnp.int32),
-            jnp.asarray(ok[None, :, None]),
-            jnp.asarray(Xff, jnp.float32), jnp.asarray(ones),
-            jnp.asarray(ones),
-            jnp.asarray(Xkf, jnp.float32), jnp.asarray(ones),
-            jnp.asarray(ones),
-        )
-
-    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j):
-        ids_i = np.asarray(feat_i)[:, 0, 0].astype(int)
-        ids_j = np.asarray(feat_j)[:, 0, 0].astype(int)
-        E = len(ids_i)
-        idx_i2j = np.zeros((E, N), np.int64)
-        idx_j2i = np.zeros((E, N), np.int64)
-        valid_j = np.zeros((E, N, 1), bool)
-        valid_i = np.zeros((E, N, 1), bool)
-        for e, (fi, fj) in enumerate(zip(ids_i, ids_j)):
-            Ti, Tj = self.gt[fi], self.gt[fj]
-            idx_i2j[e], valid_j[e, :, 0], _ = _project_into(
-                Tj, Ti, self.n, self.d)
-            idx_j2i[e], valid_i[e, :, 0], _ = _project_into(
-                Ti, Tj, self.n, self.d)
-        Q = jnp.full((E, N, 1), self.CONF)
-        return (jnp.asarray(idx_i2j, jnp.int32),
-                jnp.asarray(idx_j2i, jnp.int32),
-                jnp.asarray(valid_j), jnp.asarray(valid_i), Q, Q, Q, Q)
+        super().__init__(H, W, FOCAL, plane_n, plane_d)
 
 
 def _run_slam(engine, poses):
@@ -399,3 +329,82 @@ def test_backend_subgrid_matches_full_res_ate():
     assert sysm2.backend.ii, "subgrid backend should hold edges"
     assert rmse_sub < 4e-3, f"subgrid ATE {rmse_sub:.5f} too high"
     assert rmse_sub < max(2 * rmse_full, 3e-3), (rmse_sub, rmse_full)
+
+
+# ---- tier 5: edge-eviction pressure (VERDICT r03 weak-6) -------------------
+
+
+def test_eviction_drops_loop_edges_before_odometry():
+    """_enforce_max_edges must evict oldest loop-closure edges first and
+    keep the consecutive odometry chain intact (the chain is what keeps
+    the active window connected)."""
+    cfgmod.load_config("config/base.yaml")
+    g = FactorGraph(engine=None, frames=None)
+    # 6 odometry edges (k, k+1) + 4 loop edges, interleaved in time
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (1, 4), (3, 4),
+             (4, 5), (0, 5), (5, 6), (2, 6)]
+    for i, j in edges:
+        g.ii.append(i)
+        g.jj.append(j)
+        for name in ("idx_ii2jj", "idx_jj2ii", "valid_match_j",
+                     "valid_match_i", "Q_ii2jj", "Q_jj2ii"):
+            getattr(g, name).append(None)
+    g.cfg = dict(g.cfg)
+    g.cfg["max_edges"] = 7
+    g._enforce_max_edges()
+    kept = set(zip(g.ii, g.jj))
+    chain = {(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)}
+    assert chain <= kept, f"odometry chain broken: kept {kept}"
+    assert len(g.ii) == 7
+    # oldest loop edges evicted first: (0,2),(1,4),(0,5) out, (2,6) kept
+    assert (2, 6) in kept and (0, 2) not in kept
+
+
+def test_eviction_pressure_keeps_ate_bounded_and_graph_connected():
+    """System-level: a long exact-data run under heavy max_edges pressure
+    must keep the active edge set connected (single component over its
+    keyframes) and the FULL trajectory ATE tight — frozen-out keyframes
+    keep their last optimized (correct) poses, the active window stays
+    anchored to them via the pin."""
+    cfgmod.load_config("config/base.yaml")
+    cap = 4
+    cfgmod.config["local_opt"]["max_edges"] = cap
+    try:
+        engine = FakeEngine(plane_n=np.array([0.0, 0.0, 1.0]), plane_d=2.0)
+        cfgmod.config["matching"]["match_stride"] = 1
+        sysm = SLAMSystem(engine, H, W, fused=False)
+        sysm.backend = FactorGraph(engine, sysm.keyframes)
+        rng = np.random.default_rng(0)
+        tex = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+        # force a fast keyframe cadence: eviction pressure without large
+        # per-frame motion (keeps the exact-match oracle valid) and with
+        # the active window inside the smallest solver buckets
+        for i, T in enumerate(_int_shift_poses(28)):
+            engine.register(i, T)
+            sysm.process_frame(create_frame(i, tex.copy(), img_size=W),
+                               force_keyframe=(i > 0 and i % 3 == 0))
+        n_kf = len(sysm.keyframes)
+        assert n_kf >= cap + 3, f"need eviction pressure, got {n_kf} KFs"
+        assert len(sysm.backend.ii) <= cap
+
+        # active edge set forms ONE connected component
+        active = sorted(set(sysm.backend.ii) | set(sysm.backend.jj))
+        parent = {k: k for k in active}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for i, j in zip(sysm.backend.ii, sysm.backend.jj):
+            parent[find(i)] = find(j)
+        comps = {find(k) for k in active}
+        assert len(comps) == 1, f"active graph split into {len(comps)} parts"
+        # the window covers the newest keyframes contiguously
+        assert active == list(range(min(active), n_kf))
+
+        rmse = _ate(sysm, engine)
+        assert rmse < 5e-3, f"ATE {rmse:.5f} drifted under eviction pressure"
+    finally:
+        cfgmod.load_config("config/base.yaml")
