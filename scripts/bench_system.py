@@ -97,11 +97,19 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
     ds = SyntheticDataset(n, h, w)
     poses = oracle_trajectory(n, w)
 
+    # fused mode keeps the production matching subgrid (match_stride 2 by
+    # default): the oracle emits subgrid correspondence indices that the
+    # fused step and the staged backend solves consume unchanged. The
+    # modular mode consumes full-res analytic indices (stride pinned to 1
+    # in main()).
+    stride = (int(cfgmod.config["matching"].get("match_stride", 1))
+              if args.fused else 1)
+
     def build():
         oracle = PlaneSceneOracle(h, w, float(w),
                                   plane_n=(0.12, 0.08, 1.0), plane_d=2.0,
-                                  inner=engine)
-        sysm = SLAMSystem(oracle, h, w, fused=False)
+                                  inner=engine, stride=stride)
+        sysm = SLAMSystem(oracle, h, w, fused=args.fused)
         retrieval = None
         if args.retrieval:
             from splatt3r_slam_tpu.retrieval import RetrievalDatabase
@@ -122,7 +130,11 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
             oracle.register(i, poses[i])
             frame = create_frame(i, ds[i][1], img_size=w)
             tf0 = time.time()
-            _, new_kf = sysm.process_frame(frame)
+            pre_mode = sysm.mode
+            _, flag = sysm.process_frame(frame)
+            # in RELOC mode the flag is reloc success, not a keyframe —
+            # only TRACKING/INIT frames count as keyframe events
+            new_kf = bool(flag) and pre_mode != Mode.RELOC
             in_reloc = sysm.mode == Mode.RELOC
             if in_reloc and not was_reloc:
                 relocs += 1  # next frame runs the real reloc path
@@ -156,12 +168,15 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
 
     track_t = [dt for dt, kf in times if not kf]
     kf_t = [dt for dt, kf in times if kf]
+    base = "closed_loop_fused" if args.fused else "closed_loop"
     out = {
-        "metric": "closed_loop_fps_512x384" if not args.tiny
-        else "closed_loop_fps_tiny",
+        "metric": f"{base}_fps_512x384" if not args.tiny
+        else f"{base}_fps_tiny",
         "value": round(fps, 3),
         "unit": "frames/s",
         "mode": "oracle_closed_loop",
+        "frontend": "fused" if args.fused else "modular",
+        "match_stride": stride,
         "frames": n,
         "keyframes": len(sysm.keyframes),
         "relocs": relocs,
@@ -177,8 +192,12 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
                 "replaced by exact plane geometry (runtime/oracle.py) so "
                 "keyframing/GN/backend run genuinely closed-loop; FPS is "
                 "a conservative bound (adds oracle host math + "
-                "host->device transfers; modular frontend, not the fused "
-                "single-dispatch one)",
+                "host->device transfers"
+                + ("; fused single-dispatch frontend at the production "
+                   "matching stride — the headline code path"
+                   if args.fused else
+                   "; modular frontend, not the fused single-dispatch "
+                   "one") + ")",
     }
     print(json.dumps(out))
 
@@ -211,12 +230,31 @@ def main():
                          "its outputs are replaced by exact geometry, so "
                          "the FPS is a conservative bound on the real "
                          "closed loop and the run also yields an ATE.")
+    ap.add_argument("--fused", action="store_true",
+                    help="with --oracle: run the closed loop on the FUSED "
+                         "single-dispatch frontend (the production/"
+                         "headline path) at the production matching "
+                         "stride — oracle geometry is injected INSIDE "
+                         "the fused step behind a runtime predicate, so "
+                         "the full network+matcher device cost is paid "
+                         "(VERDICT r04 item 1)")
     ap.add_argument("--reloc-events", type=int, default=0,
                     help="after the frame loop, time N full relocalization "
                          "events (mono inference + retrieval query + "
                          "add_factors + pose-graph solve); implies "
                          "--retrieval")
     args = ap.parse_args()
+    if args.reloc_events and args.oracle:
+        ap.error("--oracle and --reloc-events do not compose: reloc "
+                 "events are timed under forced conditions the oracle "
+                 "loop would silently ignore")
+    if args.oracle and args.cadence:
+        ap.error("--oracle and --cadence do not compose: cadence mode "
+                 "disables data-driven keyframing, which would degenerate "
+                 "the oracle run to a single INIT keyframe")
+    if args.fused and not args.oracle:
+        ap.error("--fused is an --oracle mode (the non-oracle bench "
+                 "already uses the fused frontend)")
     if args.reloc_events:
         args.retrieval = True
 
@@ -238,9 +276,11 @@ def main():
         # pin the keyframe cadence: no data-driven keyframes, no reloc
         cfgmod.config["tracking"]["match_frac_thresh"] = -1.0
         cfgmod.config["tracking"]["min_match_frac"] = 0.0
-    if args.oracle:
-        # analytic correspondences are exact full-resolution pixel
-        # indices; the TPU subgrid fast path would misread them
+    if args.oracle and not args.fused:
+        # the MODULAR tracker consumes full-resolution analytic indices;
+        # the TPU subgrid fast path would misread them. The fused mode
+        # instead keeps the production stride — the oracle emits subgrid
+        # indices directly (PlaneSceneOracle(stride=...)).
         cfgmod.config["matching"]["match_stride"] = 1
     if args.threaded:
         cfgmod.config["single_thread"] = False

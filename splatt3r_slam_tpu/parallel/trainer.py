@@ -233,11 +233,20 @@ class Trainer:
         return loss, metrics
 
     # ------------------------------------------------------------------
-    def make_eval_step(self):
+    def make_eval_step(self, apply_mask: bool = False,
+                       average_over_mask: bool = True):
         """Validation/test metrics on rendered target views
         (reference val/test steps log MSE/PSNR/LPIPS/SSIM,
         `splatt3r_core/main.py:148-262`; LPIPS reported when the trainer
-        was given a VGG param tree, NaN otherwise)."""
+        was given a VGG param tree, NaN otherwise).
+
+        Masking semantics mirror `calculate_loss`
+        (`splatt3r_core/main.py:201-245`): `apply_mask` multiplies both
+        rendered and target colors by the loss mask BEFORE the metrics;
+        `average_over_mask` switches every metric (MSE, SSIM via its
+        per-pixel map, spatial LPIPS) from a plain mean to a
+        mask-weighted average. Both are no-ops when the batch carries no
+        'loss_mask'."""
         from splatt3r_slam_tpu.utils.metrics import (
             mse as mse_fn, psnr_from_mse, ssim_mean,
         )
@@ -281,12 +290,17 @@ class Trainer:
             rendered = color.transpose(0, 1, 3, 4, 2)
             gt = batch["target_img"]
             mask = batch.get("loss_mask")
-            m = mse_fn(rendered, gt, mask)
+            if mask is not None and apply_mask:
+                rendered = rendered * mask[..., None]
+                gt = gt * mask[..., None]
+            avg_mask = mask if (mask is not None and average_over_mask) \
+                else None
+            m = mse_fn(rendered, gt, avg_mask)
             lp = (
                 _lpips_term(lpips_params, rendered.reshape(-1, H, W, 3),
                             gt.reshape(-1, H, W, 3),
-                            None if mask is None
-                            else mask.reshape(-1, H, W))
+                            None if avg_mask is None
+                            else avg_mask.reshape(-1, H, W))
                 if lpips_params is not None
                 else jnp.nan  # no VGG weights supplied
             )
@@ -294,7 +308,9 @@ class Trainer:
                 "mse": m,
                 "psnr": psnr_from_mse(m),
                 "ssim": ssim_mean(rendered.reshape(-1, H, W, 3),
-                                  gt.reshape(-1, H, W, 3)),
+                                  gt.reshape(-1, H, W, 3),
+                                  None if avg_mask is None
+                                  else avg_mask.reshape(-1, H, W)),
                 "lpips": lp,
             }, rendered
 

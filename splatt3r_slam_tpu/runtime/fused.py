@@ -91,7 +91,8 @@ _STEP_CACHE: dict = {}
 
 def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
                           mcfg: MatchingParams, head_mode: str = "tracking",
-                          use_calib: bool = False):
+                          use_calib: bool = False,
+                          with_oracle: bool = False):
     """Build the jitted fused step (memoized: flax modules hash by their
     config fields, so a rebuilt FusedTracker with identical settings
     reuses the traced+compiled program — retracing the full two-view
@@ -111,9 +112,19 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
     their pixel rays, keyframe measurements [u, v, log z]; pass the pixel
     intrinsics K. The matching subgrid's true pixel coordinates
     (stride·grid) keep K consistent at any match_stride.
+
+    with_oracle=True (closed-loop benchmarking, VERDICT r04 item 1)
+    threads a `PlaneSceneOracle.fused_inputs` pytree through the step
+    and swaps the NETWORK OUTPUTS (pointmaps, confidences, matches) for
+    exact analytic geometry via `jnp.where(on, oracle, real)` — `on` is
+    a runtime scalar, so XLA cannot dead-code-eliminate the real
+    network/matcher compute: the step pays the full production device
+    cost while tracking, keyframing, fusion, and the GN run closed-loop
+    on exact geometry.
     """
 
-    cache_key = (model, h, w, tcfg, mcfg, head_mode, use_calib)
+    cache_key = (model, h, w, tcfg, mcfg, head_mode, use_calib,
+                 with_oracle)
     cached = _STEP_CACHE.get(cache_key)
     if cached is not None:
         return cached
@@ -140,7 +151,8 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
         return a.reshape(h, w, -1)[::s, ::s].reshape(ns, -1)
 
     @jax.jit
-    def step(params, img, kf: KFState, T_WCf_init, idx_init, K=None):
+    def step(params, img, kf: KFState, T_WCf_init, idx_init, K=None,
+             oracle=None):
         feat, pos = model.apply({"params": params}, img,
                                 method=model.encode)
         d1, d2 = model.apply({"params": params}, feat, pos, kf.feat, kf.pos,
@@ -172,11 +184,30 @@ def make_fused_track_step(model, h: int, w: int, tcfg: TrackingConfig,
         Cff = res11["conf"][0].reshape(n, 1)
         Xkf = res21["pts3d"][0].reshape(n, 3)
         Ckf = res21["conf"][0].reshape(n, 1)
+        Qff_full = res11["desc_conf"]
+        Qkf_full = res21["desc_conf"]
+
+        if with_oracle:
+            # swap network outputs for exact geometry behind a RUNTIME
+            # predicate (no DCE of the real compute — see docstring);
+            # everything downstream (masks, GN, fusion, keyframe
+            # criterion) then runs closed-loop on oracle values
+            on = oracle["on"] > 0.5
+            oc = jnp.float32(10.0)  # PlaneSceneOracle.CONF
+            idx = jnp.where(on, oracle["idx"], idx)
+            valid_match = jnp.where(on, oracle["valid"][:, None],
+                                    valid_match)
+            Xff = jnp.where(on, oracle["Xff"], Xff)
+            Cff = jnp.where(on, oc, Cff)
+            Xkf = jnp.where(on, oracle["Xkf"], Xkf)
+            Ckf = jnp.where(on, oc, Ckf)
+            Qff_full = jnp.where(on, oc, Qff_full)
+            Qkf_full = jnp.where(on, oc, Qkf_full)
 
         Xff_s = sub_flat(Xff)
         Cff_s = sub_flat(Cff)
-        Qff_s = sub_grid(res11["desc_conf"])[0].reshape(ns, 1)
-        Qkf_s = sub_grid(res21["desc_conf"])[0].reshape(ns, 1)
+        Qff_s = sub_grid(Qff_full)[0].reshape(ns, 1)
+        Qkf_s = sub_grid(Qkf_full)[0].reshape(ns, 1)
         Xk_s = sub_flat(kf.X)
         Ck_s = sub_flat(kf.C)
 
@@ -292,9 +323,15 @@ class FusedTracker:
         self.tcfg = TrackingConfig.from_config(config)
         self.mcfg = MatchingParams.from_config(config)
         self.use_calib = bool(config.get("use_calib", False))
+        # closed-loop oracle mode: an engine exposing `fused_inputs`
+        # (runtime/oracle.py PlaneSceneOracle wrapping the real engine)
+        # switches the step to the oracle-injected variant — full
+        # production device cost, exact-geometry outputs
+        self.oracle = engine if hasattr(engine, "fused_inputs") else None
         self.step = make_fused_track_step(
             engine.model, engine.h, engine.w, self.tcfg, self.mcfg,
             use_calib=self.use_calib,
+            with_oracle=self.oracle is not None,
         )
         self.idx_f2k = None
         self._kf_state = None
@@ -347,9 +384,14 @@ class FusedTracker:
 
         idx_init = self.idx_f2k
         K = (self.keyframes.K if self.use_calib else None)
+        oin = None
+        if self.oracle is not None:
+            oin = self.oracle.fused_inputs(
+                frame.frame_id, self.keyframes.last_keyframe().frame_id
+            )
         out, flags = self.step(
             self.engine.params, frame.img, self._kf_state, frame.T_WC,
-            idx_init, K,
+            idx_init, K, oin,
         )
 
         # device-side folds are UNCONDITIONAL: the fused step already
@@ -358,6 +400,10 @@ class FusedTracker:
         # needed before the next dispatch.
         self.idx_f2k = out["idx_f2k"]
         frame.feat, frame.pos = out["feat"], out["pos"]
+        if self.oracle is not None:
+            # frame identity for the backend's ground-truth recovery
+            # (oracle match_symmetric reads feat[0, 0, 0])
+            self.oracle._stamp(frame)
         frame.X_canon, frame.C = out["X"], out["C"]
         frame.N = 1
         frame.N_updates = 1

@@ -60,7 +60,7 @@ class PlaneSceneOracle:
 
     def __init__(self, h: int, w: int, focal: float | None = None,
                  plane_n=(0.0, 0.0, 1.0), plane_d: float = 2.0,
-                 inner=None):
+                 inner=None, stride: int = 1):
         self.h, self.w = int(h), int(w)
         self.N = self.h * self.w
         self.focal = float(focal if focal is not None else w)
@@ -69,6 +69,13 @@ class PlaneSceneOracle:
         self.n = n / np.linalg.norm(n)
         self.d = float(plane_d)
         self.inner = inner
+        # matching-subgrid stride: when the production pipeline matches on
+        # an (h/s, w/s) subgrid (config matching.match_stride), the oracle
+        # emits correspondence indices on that same grid so the fused
+        # frontend and the staged backend solves consume them unchanged
+        self.stride = max(1, int(stride))
+        self.hs, self.ws = self.h // self.stride, self.w // self.stride
+        self.Ns = self.hs * self.ws
         self.gt: dict[int, np.ndarray] = {}
         # closed-loop benchmark host-cost control: per-pose pointmap cache
         # (keyed by pose bytes; trajectories revisit the active keyframe's
@@ -94,24 +101,72 @@ class PlaneSceneOracle:
         self._pm_cache[key] = out
         return out
 
-    def project_into(self, T_src: np.ndarray, T_dst: np.ndarray):
-        """src pixels' world points in dst's image: (flat idx (N,),
-        in-bounds mask (N,), X in dst cam (N, 3))."""
+    def _project(self, T_src: np.ndarray, T_dst: np.ndarray):
+        """src pixels' world points in dst's image: continuous (u, v),
+        in-bounds mask (N,), X in dst cam (N, 3)."""
         Xc_src = self.gt_pointmap_cam(T_src)
         Xw = (T_src[:3, :3] @ Xc_src.T).T + T_src[:3, 3]
         Xc = (T_dst[:3, :3].T @ (Xw - T_dst[:3, 3]).T).T
         z = np.maximum(Xc[:, 2], 1e-9)
         u = self.focal * Xc[:, 0] / z + self.w / 2
         v = self.focal * Xc[:, 1] / z + self.h / 2
-        ui = np.clip(np.floor(u).astype(np.int64), 0, self.w - 1)
-        vi = np.clip(np.floor(v).astype(np.int64), 0, self.h - 1)
         ok = (u >= 0) & (u < self.w) & (v >= 0) & (v < self.h) \
             & (Xc[:, 2] > 0)
+        return u, v, ok, Xc
+
+    def project_into(self, T_src: np.ndarray, T_dst: np.ndarray):
+        """src pixels' world points in dst's image: (flat idx (N,),
+        in-bounds mask (N,), X in dst cam (N, 3))."""
+        u, v, ok, Xc = self._project(T_src, T_dst)
+        ui = np.clip(np.floor(u).astype(np.int64), 0, self.w - 1)
+        vi = np.clip(np.floor(v).astype(np.int64), 0, self.h - 1)
         return vi * self.w + ui, ok, Xc
 
+    def project_into_sub(self, T_src: np.ndarray, T_dst: np.ndarray):
+        """Subgrid variant: src SUBGRID pixels' points located on dst's
+        (hs, ws) matching subgrid. Returns (flat sub idx (Ns,),
+        mask (Ns,), X in dst cam (Ns, 3)). Subgrid sample (i, j) is the
+        full-res pixel (s*i, s*j); the match index is the NEAREST dst
+        subgrid sample (round), mirroring the quantization the full-res
+        path gets from floor()."""
+        s = self.stride
+        u, v, ok, Xc = self._project(T_src, T_dst)
+
+        def sub(a):
+            return np.ascontiguousarray(
+                a.reshape(self.h, self.w, -1)[::s, ::s]
+            ).reshape(self.Ns, -1)
+
+        u_s, v_s = sub(u)[:, 0], sub(v)[:, 0]
+        ui = np.clip(np.rint((u_s - 0.5) / s).astype(np.int64),
+                     0, self.ws - 1)
+        vi = np.clip(np.rint((v_s - 0.5) / s).astype(np.int64),
+                     0, self.hs - 1)
+        return vi * self.ws + ui, sub(ok)[:, 0], sub(Xc)
+
     # -- InferenceEngine surface --------------------------------------------
+    # passthroughs so the fused frontend (FusedTracker) can build its
+    # device program around the wrapped REAL model
+    @property
+    def model(self):
+        return self.inner.model
+
+    @property
+    def params(self):
+        return self.inner.params
+
     def _stamp(self, frame):
-        frame.feat = frame.feat.at[0, 0, 0].set(float(frame.frame_id))
+        # frame identity rides in the feature dtype; bf16 features can
+        # only represent integers exactly up to 256 — a silently rounded
+        # id would corrupt ground-truth recovery in match_symmetric
+        fid = float(frame.frame_id)
+        if float(jnp.asarray(fid, frame.feat.dtype)) != fid:
+            raise ValueError(
+                f"frame_id {frame.frame_id} not exactly representable in "
+                f"feature dtype {frame.feat.dtype}; cap the oracle run "
+                "length (e.g. --frames <= 256 for bfloat16 features)"
+            )
+        frame.feat = frame.feat.at[0, 0, 0].set(fid)
 
     def ensure_encoded(self, frame):
         if frame.feat is not None:
@@ -161,16 +216,58 @@ class PlaneSceneOracle:
             self.inner.match_symmetric(feat_i, pos_i, feat_j, pos_j)
         ids_i = np.rint(np.asarray(feat_i)[:, 0, 0]).astype(int)
         ids_j = np.rint(np.asarray(feat_j)[:, 0, 0]).astype(int)
-        E, N = len(ids_i), self.N
+        proj = (self.project_into_sub if self.stride > 1
+                else self.project_into)
+        E, N = len(ids_i), (self.Ns if self.stride > 1 else self.N)
         idx_i2j = np.zeros((E, N), np.int64)
         idx_j2i = np.zeros((E, N), np.int64)
         valid_j = np.zeros((E, N, 1), bool)
         valid_i = np.zeros((E, N, 1), bool)
         for e, (fi, fj) in enumerate(zip(ids_i, ids_j)):
             Ti, Tj = self.gt[fi], self.gt[fj]
-            idx_i2j[e], valid_j[e, :, 0], _ = self.project_into(Tj, Ti)
-            idx_j2i[e], valid_i[e, :, 0], _ = self.project_into(Ti, Tj)
+            idx_i2j[e], valid_j[e, :, 0], _ = proj(Tj, Ti)
+            idx_j2i[e], valid_i[e, :, 0], _ = proj(Ti, Tj)
         Q = jnp.full((E, N, 1), self.CONF)
         return (jnp.asarray(idx_i2j, jnp.int32),
                 jnp.asarray(idx_j2i, jnp.int32),
                 jnp.asarray(valid_j), jnp.asarray(valid_i), Q, Q, Q, Q)
+
+    def match_oneway(self, feat_i, pos_i, feat_j, pos_j):
+        """One direction of a (i, j) edge — the backend's
+        `add_neighbor_edge_from_tracking` complement. Same return
+        contract as `InferenceEngine.match_oneway`: rows are j's subgrid
+        pixels located in i's image."""
+        if self.inner is not None:
+            self.inner.match_oneway(feat_i, pos_i, feat_j, pos_j)
+        fi = int(np.rint(np.asarray(feat_i)[0, 0, 0]))
+        fj = int(np.rint(np.asarray(feat_j)[0, 0, 0]))
+        proj = (self.project_into_sub if self.stride > 1
+                else self.project_into)
+        idx, ok, _ = proj(self.gt[fj], self.gt[fi])
+        Q = jnp.full((len(idx),), self.CONF)
+        return jnp.asarray(idx, jnp.int32), jnp.asarray(ok), Q
+
+    def fused_inputs(self, frame_id: int, kf_frame_id: int) -> dict:
+        """Per-frame oracle inputs for the fused single-dispatch tracking
+        step (`runtime/fused.py` with_oracle=True): the frame's exact
+        pointmap, the keyframe pixels' exact points in the frame's
+        camera (the cross-prediction slot), and exact subgrid matches.
+        `on` is a RUNTIME scalar predicate: the fused step selects
+        oracle-vs-network values with `jnp.where(on, ...)`, so XLA must
+        still execute the full network + matcher — the closed-loop
+        benchmark pays every production device cost."""
+        Tf = self.gt[int(frame_id)]
+        Tk = self.gt[int(kf_frame_id)]
+        Xff = self.gt_pointmap_cam(Tf)
+        if self.stride > 1:
+            idx, ok, _ = self.project_into_sub(Tk, Tf)
+            _, _, Xkf = self.project_into(Tk, Tf)
+        else:
+            idx, ok, Xkf = self.project_into(Tk, Tf)
+        return {
+            "on": jnp.float32(1.0),
+            "Xff": jnp.asarray(Xff, jnp.float32),
+            "Xkf": jnp.asarray(Xkf, jnp.float32),
+            "idx": jnp.asarray(idx, jnp.int32),
+            "valid": jnp.asarray(ok),
+        }

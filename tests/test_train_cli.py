@@ -71,3 +71,28 @@ def test_train_from_npz_batches(tmp_path):
     assert "step 1:" in out.stdout  # 1 file x 2 epochs = 2 steps
     ws = _latest_ws(tmp_path, "npz")
     assert (ws / "npz_metrics.csv").exists()
+
+
+def test_masked_metric_test_sweep(tmp_path):
+    """--test runs the reference's masked-metric protocol
+    (run_experiment sweep, splatt3r_core/main.py:394-437): results.json
+    keyed by (alpha, beta, apply_mask, average_over_mask), and the
+    mask-averaged metrics genuinely differ from the plain-mean ones."""
+    import json
+
+    _run(["--tiny-model", "--test", "--alphas", "0.9", "0.3",
+          "--name", "sweep"], tmp_path)
+    ws = _latest_ws(tmp_path, "sweep")
+    res = json.loads((ws / "results.json").read_text())
+    assert len(res) == 4
+    key_a = "alpha: 0.3, beta: 0.3, apply_mask: True, average_over_mask: False"
+    key_b = "alpha: 0.3, beta: 0.3, apply_mask: True, average_over_mask: True"
+    assert key_a in res and key_b in res
+    row = res[key_a][0]
+    for k in ("test/loss", "test/mse", "test/psnr", "test/ssim"):
+        assert k in row and np.isfinite(row[k])
+    # averaging over the 9%-coverage mask vs the full image must move
+    # both SSIM and MSE
+    a, b = res[key_a][0], res[key_b][0]
+    assert abs(a["test/ssim"] - b["test/ssim"]) > 1e-6
+    assert abs(a["test/mse"] - b["test/mse"]) > 1e-9

@@ -86,8 +86,15 @@ def build_trainer(cfg: dict, args):
                    lpips_params=lpips_params), model_cfg
 
 
-def synthetic_batches(n_steps, B, h, w, render_loss, seed=0):
-    """Deterministic random pair batches with the full supervision dict."""
+def synthetic_batches(n_steps, B, h, w, render_loss, seed=0,
+                      mask_coverage=None):
+    """Deterministic random pair batches with the full supervision dict.
+
+    mask_coverage in (0, 1] adds a 'loss_mask' (B, V, H, W) covering a
+    centered box of roughly that area fraction — the test sweep's stand-in
+    for the frustum-overlap mask the reference derives from its α/β view
+    sampling (the ScanNet++ data module is absent from the reference repo;
+    npz batches can carry a real mask instead)."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
@@ -114,6 +121,14 @@ def synthetic_batches(n_steps, B, h, w, render_loss, seed=0):
                 "target_img": jnp.asarray(rng.random((B, 1, h, w, 3)),
                                           jnp.float32),
             })
+            if mask_coverage is not None:
+                frac = float(np.sqrt(mask_coverage))
+                mh, mw = max(1, round(h * frac)), max(1, round(w * frac))
+                m = np.zeros((h, w), np.float32)
+                y0, x0 = (h - mh) // 2, (w - mw) // 2
+                m[y0:y0 + mh, x0:x0 + mw] = 1.0
+                batch["loss_mask"] = jnp.broadcast_to(
+                    jnp.asarray(m), (B, 1, h, w))
         yield batch
 
 
@@ -124,6 +139,63 @@ def npz_batches(paths, epochs):
         for p in paths:
             z = np.load(p)
             yield {k: jnp.asarray(z[k]) for k in z.files}
+
+
+def run_test_sweep(trainer, params, args, h, w, ws, bshard):
+    """Masked-metric test protocol (run_experiment parity,
+    `splatt3r_core/main.py:394-437`): for each α=β the reference rebuilds
+    its test dataset, then evaluates under (apply_mask, average_over_mask)
+    ∈ {(True, False), (True, True)} with spatial LPIPS and masked SSIM,
+    accumulating one `results.json` keyed by the sweep point. Here each
+    α/β yields test batches whose loss mask covers ~α·β of the image
+    (real masks come in via --data npz), and `Trainer.make_eval_step`
+    carries the masking semantics."""
+    import json
+
+    import jax
+
+    masking_configs = ((True, False), (True, True))
+    eval_fns = {mc: trainer.make_eval_step(apply_mask=mc[0],
+                                           average_over_mask=mc[1])
+                for mc in masking_configs}
+    results = {}
+    for alpha in args.alphas:
+        beta = alpha
+        if args.data:
+            batches = [jax.device_put(b, bshard)
+                       for b in npz_batches(args.data, 1)]
+        else:
+            B = args.batch_size or trainer.mesh.size
+            batches = [
+                jax.device_put(b, bshard)
+                for b in synthetic_batches(
+                    2, B, h, w, True, seed=args.seed + 17,
+                    mask_coverage=alpha * beta)
+            ]
+        for apply_mask, average_over_mask in masking_configs:
+            eval_fn = eval_fns[(apply_mask, average_over_mask)]
+            agg: dict[str, list[float]] = {}
+            for b in batches:
+                metrics, _rendered = eval_fn(params, b)
+                for k, v in metrics.items():
+                    agg.setdefault(k, []).append(float(v))
+            res = {f"test/{k}": sum(v) / len(v) for k, v in agg.items()}
+            lp = res.get("test/lpips", float("nan"))
+            res["test/loss"] = (
+                trainer.cfg.mse_weight * res["test/mse"]
+                + (trainer.cfg.lpips_weight * lp if lp == lp else 0.0)
+            )
+            key = (f"alpha: {alpha}, beta: {beta}, "
+                   f"apply_mask: {apply_mask}, "
+                   f"average_over_mask: {average_over_mask}")
+            results[key] = [res]
+            print(f"{key} -> psnr {res['test/psnr']:.2f} "
+                  f"ssim {res['test/ssim']:.4f}")
+            save_path = ws / "results.json"
+            with open(save_path, "w") as f:
+                json.dump(results, f, indent=1)
+    print(f"results: {ws / 'results.json'}")
+    return 0
 
 
 def main(argv=None):
@@ -158,6 +230,14 @@ def main(argv=None):
                    help="profiler trace window (step range)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--test", action="store_true",
+                   help="masked-metric test sweep instead of training: "
+                        "α/β × (apply_mask, average_over_mask) → "
+                        "results.json (run_experiment parity, "
+                        "splatt3r_core/main.py:394-437)")
+    p.add_argument("--alphas", type=float, nargs="*",
+                   default=[0.9, 0.7, 0.5, 0.3],
+                   help="--test sweep α (=β) values")
     args = p.parse_args(argv)
 
     import jax
@@ -199,6 +279,8 @@ def main(argv=None):
     print(f"workspace: {ws} (mesh {trainer.mesh.shape})")
 
     bshard = batch_sharding(trainer.mesh)
+    if args.test:
+        return run_test_sweep(trainer, params, args, h, w, ws, bshard)
     if args.data:
         raw = npz_batches(args.data, args.epochs)
     else:
