@@ -52,8 +52,12 @@ def load_config(path: str) -> dict:
     if "inherit" in cfg:
         parent_rel = cfg.pop("inherit")
         # inherit paths are repo-root-relative in the reference; resolve
-        # against cwd first, then against this file's package root.
+        # against cwd, then the repo root (so configs load from any
+        # cwd), then against the config file's own directory.
         parent = pathlib.Path(parent_rel)
+        if not parent.exists():
+            repo_root = pathlib.Path(__file__).resolve().parents[1]
+            parent = repo_root / parent_rel
         if not parent.exists():
             parent = path.parent / pathlib.Path(parent_rel).name
         parent_cfg = load_config(str(parent))
