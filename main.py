@@ -79,6 +79,13 @@ def parse_args(argv=None):
                    help="attention kernel selection (auto = measured "
                         "crossover; 768-token tracking shapes use the "
                         "fused-einsum path, which is 44%% faster on v5e)")
+    p.add_argument("--no-prewarm", action="store_true",
+                   help="skip the startup background compile of the "
+                        "backend's first shape ladder (edge-batch "
+                        "decodes, edge gate, staged solve buckets); "
+                        "without prewarm a cold compile cache pays "
+                        "multi-second XLA compiles mid-sequence at each "
+                        "first-seen shape")
     return p.parse_args(argv)
 
 
@@ -236,6 +243,11 @@ def main(argv=None):
     system = SLAMSystem(engine, h, w, K=K)
     system.backend = FactorGraph(engine, system.keyframes, K=K,
                                  retrieval=retrieval)
+    if not args.no_prewarm:
+        # compile the backend's first shape ladder on a daemon thread
+        # while the first frames stream (kills the cold-cache ~20 s
+        # mid-sequence stall on first-shape backend programs)
+        system.prewarm()
     if not args.no_gaussians:
         system.gaussian_module = GaussianAccumulator(
             spatial_stride=args.gaussian_stride,

@@ -48,29 +48,18 @@ class SyntheticDataset:
         return float(i), self.frames[i]
 
 
-def oracle_trajectory(n, w, plane_d=2.0):
-    """TUM-like smooth pan over the plane: lateral translation worth
-    ~8% of the image width per frame at the plane depth plus gentle yaw
-    and parallax bob, so keyframe overlap decays ~8%/frame and the
-    data-driven criterion (match_frac_thresh 0.333) fires every ~6-8
-    frames — the realistic TUM cadence the replay mode pinned by hand."""
-    import numpy as np
+def oracle_trajectory(n, w, plane_d=2.0, blackout=None):
+    """Shared with the CI twin — see `runtime/oracle.py pan_trajectory`
+    (and the kidnapped-camera `reloc_pan_trajectory` when an occlusion
+    window is benchmarked)."""
+    from splatt3r_slam_tpu.runtime.oracle import (
+        pan_trajectory,
+        reloc_pan_trajectory,
+    )
 
-    focal = float(w)
-    px_per_frame = 0.078 * w
-    poses = []
-    for i in range(n):
-        yaw = 0.004 * i
-        c, s = np.cos(yaw), np.sin(yaw)
-        T = np.eye(4)
-        T[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
-        T[:3, 3] = [
-            px_per_frame * i * plane_d / focal,
-            0.05 * np.sin(0.4 * i),
-            0.03 * np.sin(0.23 * i),
-        ]
-        poses.append(T)
-    return poses
+    if blackout:
+        return reloc_pan_trajectory(n, w, blackout, plane_d=plane_d)
+    return pan_trajectory(n, w, plane_d)
 
 
 def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
@@ -95,7 +84,8 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
 
     n = args.frames
     ds = SyntheticDataset(n, h, w)
-    poses = oracle_trajectory(n, w)
+    poses = oracle_trajectory(
+        n, w, blackout=tuple(args.blackout) if args.blackout else None)
 
     # fused mode keeps the production matching subgrid (match_stride 2 by
     # default): the oracle emits subgrid correspondence indices that the
@@ -105,10 +95,15 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
     stride = (int(cfgmod.config["matching"].get("match_stride", 1))
               if args.fused else 1)
 
+    blackout = tuple(args.blackout) if args.blackout else None
+
     def build():
         oracle = PlaneSceneOracle(h, w, float(w),
                                   plane_n=(0.12, 0.08, 1.0), plane_d=2.0,
-                                  inner=engine, stride=stride)
+                                  inner=engine, stride=stride,
+                                  noise=args.noise,
+                                  conf_noise=args.conf_noise,
+                                  blackout=blackout)
         sysm = SLAMSystem(oracle, h, w, fused=args.fused)
         retrieval = None
         if args.retrieval:
@@ -119,12 +114,20 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
                 proj_dim=min(cfg.enc_embed_dim, 1024),
                 **({"n_words": 256, "nfeat": 16} if args.tiny else {}),
             )
+        if blackout:
+            # closed-loop reloc validation: ideal (GT-overlap-ranked)
+            # retrieval so the RELOC machinery is exercised
+            # deterministically; a real database passed as inner still
+            # pays its full per-event query cost
+            from splatt3r_slam_tpu.runtime.oracle import OracleRetrieval
+
+            retrieval = OracleRetrieval(oracle, inner=retrieval)
         sysm.backend = FactorGraph(oracle, sysm.keyframes,
                                    retrieval=retrieval)
         return oracle, sysm
 
     def drive(oracle, sysm, collect=None):
-        relocs, was_reloc = 0, False
+        relocs, reloc_ok, was_reloc = 0, 0, False
         t0 = time.time()
         for i in range(n):
             oracle.register(i, poses[i])
@@ -135,6 +138,8 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
             # in RELOC mode the flag is reloc success, not a keyframe —
             # only TRACKING/INIT frames count as keyframe events
             new_kf = bool(flag) and pre_mode != Mode.RELOC
+            if pre_mode == Mode.RELOC and flag:
+                reloc_ok += 1
             in_reloc = sysm.mode == Mode.RELOC
             if in_reloc and not was_reloc:
                 relocs += 1  # next frame runs the real reloc path
@@ -144,7 +149,7 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
         if not bool(cfgmod.config.get("single_thread", True)):
             sysm._drain_backend()
             sysm._stop = True
-        return n / (time.time() - t0), relocs
+        return n / (time.time() - t0), relocs, reloc_ok
 
     # warmup run pays every compile (incl. backend edge buckets grown to
     # the full keyframe count); timed run then measures steady state
@@ -157,7 +162,7 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
 
     times = []
     oracle, sysm = build()
-    fps, relocs = drive(oracle, sysm, collect=times)
+    fps, relocs, reloc_ok = drive(oracle, sysm, collect=times)
 
     est = np.stack([np.asarray(sim3.matrix(kf.T_WC))[:3, 3]
                     for kf in sysm.keyframes])
@@ -180,6 +185,10 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
         "frames": n,
         "keyframes": len(sysm.keyframes),
         "relocs": relocs,
+        "reloc_successes": reloc_ok,
+        "noise": args.noise,
+        "conf_noise": args.conf_noise,
+        "blackout": list(blackout) if blackout else None,
         "backend_edges": len(sysm.backend.ii),
         "ate_rmse_m": round(ate, 6),
         "threaded": bool(not cfgmod.config.get("single_thread", True)),
@@ -230,6 +239,16 @@ def main():
                          "its outputs are replaced by exact geometry, so "
                          "the FPS is a conservative bound on the real "
                          "closed loop and the run also yields an ATE.")
+    ap.add_argument("--cold", action="store_true",
+                    help="skip the warmup drive: the timed run pays "
+                         "first-compile costs exactly as a production "
+                         "cold start (pair with a fresh "
+                         "BENCH_CACHE_DIR and optionally --prewarm)")
+    ap.add_argument("--prewarm", action="store_true",
+                    help="start the production background prewarm "
+                         "(SLAMSystem.prewarm) before the frame loop — "
+                         "the backend shape ladder compiles while "
+                         "frames stream")
     ap.add_argument("--fused", action="store_true",
                     help="with --oracle: run the closed loop on the FUSED "
                          "single-dispatch frontend (the production/"
@@ -238,6 +257,18 @@ def main():
                          "the fused step behind a runtime predicate, so "
                          "the full network+matcher device cost is paid "
                          "(VERDICT r04 item 1)")
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="with --oracle: depth-proportional pointmap "
+                         "noise sigma (0.01 ~ MASt3R-like 1%% depth "
+                         "error)")
+    ap.add_argument("--conf-noise", type=float, default=0.0,
+                    help="with --oracle: lognormal sigma on confidences")
+    ap.add_argument("--blackout", type=int, nargs=2, default=None,
+                    metavar=("A", "B"),
+                    help="with --oracle: occlusion window [A, B) of frame "
+                         "ids — forces a real tracking loss and exercises "
+                         "closed-loop relocalization (pair with "
+                         "--retrieval)")
     ap.add_argument("--reloc-events", type=int, default=0,
                     help="after the frame loop, time N full relocalization "
                          "events (mono inference + retrieval query + "
@@ -261,8 +292,11 @@ def main():
     import jax
 
     # persistent compile cache: env vars do NOT take effect in this image
-    # (sitecustomize initializes jax first) — config.update does
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # (sitecustomize initializes jax first) — config.update does.
+    # BENCH_CACHE_DIR overrides for cold-cache experiments (--cold).
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("BENCH_CACHE_DIR",
+                                     "/root/repo/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.tiny:
@@ -458,16 +492,19 @@ def main():
     # multi-second tunnel compile to steady-state FPS.
     import gc
 
-    warm = build_system()
-    n_warm = n if args.cadence else 6
-    get_waits, drain_s, loop_fps = [], [0.0], [0.0]
-    drive(warm, SyntheticDataset(n_warm, h, w))
-    del warm
-    gc.collect()
+    if not args.cold:
+        warm = build_system()
+        n_warm = n if args.cadence else 6
+        get_waits, drain_s, loop_fps = [], [0.0], [0.0]
+        drive(warm, SyntheticDataset(n_warm, h, w))
+        del warm
+        gc.collect()
 
     times, get_waits, drain_s, loop_fps = [], [], [0.0], [0.0]
     task_times = []
     instrument_tasks(system, task_times)
+    if args.prewarm:
+        system.prewarm()
     fps, relocs = drive(system, ds, collect=times)
     out = {
         "metric": "system_fps_512x384" if not args.tiny else "system_fps_tiny",
@@ -479,6 +516,8 @@ def main():
         "reboots": relocs,
         "gaussians": int(system.pool.n),
         "backend_edges": len(system.backend.ii),
+        "cold": bool(args.cold),
+        "prewarm": bool(args.prewarm),
     }
     if args.cadence:
         track_t = [t for t, f in times if not f]

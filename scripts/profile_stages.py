@@ -114,40 +114,52 @@ def main():
 
     d1, d2 = jax.block_until_ready(f_decode(params, feat, pos))
 
+    # production head mode: the per-frame path skips the gaussian DPTs
+    # (fused.py head_mode="tracking"); Gaussians are materialized lazily
     @jax.jit
     def f_head1(params, d1):
-        return model.apply({"params": params}, 1, d1, (h, w),
+        return model.apply({"params": params}, 1, d1, (h, w), "tracking",
                            method=model.apply_head)
 
     @jax.jit
     def f_head2(params, d2):
-        return model.apply({"params": params}, 2, d2, (h, w),
+        return model.apply({"params": params}, 2, d2, (h, w), "tracking",
                            method=model.apply_head)
 
     res11 = jax.block_until_ready(f_head1(params, d1))
     res21 = jax.block_until_ready(f_head2(params, d2))
 
     mcfg = MatchingParams.from_config(cfgmod.config)
+    s = max(1, int(mcfg.match_stride))
+
+    def sub(a):
+        return a[:, ::s, ::s] if s > 1 else a
 
     @jax.jit
     def f_match(X11, X21, D11, D21):
+        # production subgrid matching (fused.py sub_grid semantics)
         return matching.match(
-            X11, X21, D11, D21, None,
+            sub(X11), sub(X21), sub(D11), sub(D21), None,
             max_iter=mcfg.max_iter, lambda_init=mcfg.lambda_init,
             convergence_thresh=mcfg.convergence_thresh,
             dist_thresh=mcfg.dist_thresh, radius=mcfg.radius,
-            dilation_max=mcfg.dilation_max)
+            dilation_max=mcfg.dilation_max,
+            closed_form_init=mcfg.closed_form_init,
+            polish_iters=mcfg.polish_iters,
+            refine_schedule=mcfg.refine_schedule,
+            refine_quantize=mcfg.refine_quantize)
 
     idxb, validb = jax.block_until_ready(f_match(
         res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"]))
 
     tcfg = TrackingConfig()
+    ns = (h // s) * (w // s)
     idx = idxb[0]
     valid = validb[0]
-    Xff = res11["pts3d"][0].reshape(n, 3)
-    Xkf = res21["pts3d"][0].reshape(n, 3)
-    Qk = jnp.sqrt(res11["desc_conf"][0].reshape(n, 1)[idx]
-                  * res21["desc_conf"][0].reshape(n, 1))
+    Xff = sub(res11["pts3d"])[0].reshape(ns, 3)
+    Xkf = sub(res21["pts3d"])[0].reshape(ns, 3)
+    Qk = jnp.sqrt(sub(res11["desc_conf"])[0].reshape(ns, 1)[idx]
+                  * sub(res21["desc_conf"])[0].reshape(ns, 1))
     T_id = sim3.identity()
 
     @jax.jit
@@ -158,7 +170,9 @@ def main():
 
     # fused step (the production program)
     step = make_fused_track_step(model, h, w, tcfg, mcfg)
-    kf = KFState(feat=feat, pos=pos, X=Xkf, C=jnp.ones((n, 1)),
+    kf = KFState(feat=feat, pos=pos,
+                 X=res21["pts3d"][0].reshape(n, 3),
+                 C=jnp.ones((n, 1)),
                  N_fused=jnp.asarray(1.0), T_WC=T_id)
     out, flags = step(params, img, kf, T_id, None)
     jax.block_until_ready(flags)
@@ -179,7 +193,30 @@ def main():
     times["sum_stages_ms"] = sum(
         v for k, v in times.items()
         if k.endswith("_ms") and k not in ("fused_step_ms", "sum_stages_ms"))
+    # dispatch/fusion gap: fused single program vs isolated stage sum
+    times["fusion_gain_ms"] = times["sum_stages_ms"] - times["fused_step_ms"]
     times = {k: round(v, 2) for k, v in times.items()}
+
+    # ---- FLOPs + MFU accounting (VERDICT r04 item 3) ----
+    # XLA's own cost model on the compiled fused program; v5e peak is
+    # 197 TFLOP/s bf16 (394 TOPS int8). MFU = flops / time / peak.
+    try:
+        compiled = step.lower(params, img, kf, T_id, None, None).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", float("nan")))
+        times["fused_step_gflop"] = round(flops / 1e9, 1)
+        peak = 197e12 if jax.default_backend() != "cpu" else float("nan")
+        tsec = times["fused_step_ms"] / 1e3
+        times["achieved_tflops"] = round(flops / tsec / 1e12, 2)
+        times["mfu_pct_vs_v5e_bf16_peak"] = round(
+            100.0 * flops / tsec / peak, 1)
+        times["bytes_accessed_gb"] = round(
+            float(ca.get("bytes accessed", float("nan"))) / 1e9, 2)
+    except Exception as e:  # cost model availability varies per backend
+        times["cost_analysis_error"] = repr(e)
+
+    times["match_stride"] = s
     times["backend"] = jax.default_backend()
     times["hw"] = f"{h}x{w}"
     print(json.dumps(times, indent=1))

@@ -218,19 +218,12 @@ class FactorGraph:
         pix_stride = max(1, gn // (s * s))
         return s, sub_hw, pix_stride
 
-    def solve_GN_rays(self):
-        """(spec: global_opt.py:121-158)"""
-        pin = int(self.cfg["pin"])
-        unique_kf = self.get_unique_kf_idx()
-        if len(unique_kf) <= pin:
-            return
-        (m, Twc_t, Xs_t, Cs_t, Ns, ii, jj, idx_t, valid_t, Q_t,
-         on) = self._staged_inputs(unique_kf)
+    def _rays_statics(self):
+        """Static kwargs for the staged ray solve — shared by the live
+        solve and prewarm so their XLA cache keys match exactly."""
         sub_stride, sub_hw, pix_stride = self._stride_params()
-
-        Twc_new = pose_graph.gauss_newton_rays_staged(
-            Twc_t, Xs_t, Cs_t, Ns, ii, jj, idx_t, valid_t, Q_t, on,
-            num_fix=pin,
+        return dict(
+            num_fix=int(self.cfg["pin"]),
             max_iter=int(self.cfg["max_iters"]),
             sigma_ray=float(self.cfg["sigma_ray"]),
             sigma_dist=float(self.cfg["sigma_dist"]),
@@ -240,8 +233,39 @@ class FactorGraph:
             pix_stride=pix_stride,
             sub_stride=sub_stride, sub_hw=sub_hw,
         )
+
+    def solve_GN_rays(self):
+        """(spec: global_opt.py:121-158)"""
+        pin = int(self.cfg["pin"])
+        unique_kf = self.get_unique_kf_idx()
+        if len(unique_kf) <= pin:
+            return
+        (m, Twc_t, Xs_t, Cs_t, Ns, ii, jj, idx_t, valid_t, Q_t,
+         on) = self._staged_inputs(unique_kf)
+
+        Twc_new = pose_graph.gauss_newton_rays_staged(
+            Twc_t, Xs_t, Cs_t, Ns, ii, jj, idx_t, valid_t, Q_t, on,
+            **self._rays_statics(),
+        )
         self.frames.update_T_WCs(Twc_new[pin:len(unique_kf)],
                                  unique_kf[pin:])
+
+    def _calib_statics(self, img_size):
+        sub_stride, sub_hw, pix_stride = self._stride_params()
+        return dict(
+            img_size=img_size,
+            num_fix=int(self.cfg["pin"]),
+            max_iter=int(self.cfg["max_iters"]),
+            pixel_border=float(self.cfg["pixel_border"]),
+            z_eps=float(self.cfg["depth_eps"]),
+            sigma_pixel=float(self.cfg["sigma_pixel"]),
+            sigma_depth=float(self.cfg["sigma_depth"]),
+            C_thresh=float(self.cfg["C_conf"]),
+            Q_thresh=float(self.cfg["Q_conf"]),
+            delta_thresh=float(self.cfg["delta_norm"]),
+            pix_stride=pix_stride,
+            sub_stride=sub_stride, sub_hw=sub_hw,
+        )
 
     def solve_GN_calib(self):
         """(spec: global_opt.py:160-213)"""
@@ -254,22 +278,10 @@ class FactorGraph:
         )
         (m, Twc_t, Xs_t, Cs_t, Ns, ii, jj, idx_t, valid_t, Q_t,
          on) = self._staged_inputs(unique_kf)
-        sub_stride, sub_hw, pix_stride = self._stride_params()
 
         Twc_new = pose_graph.gauss_newton_calib_staged(
             Twc_t, Xs_t, Cs_t, Ns, self.K, ii, jj, idx_t, valid_t, Q_t,
-            on, img_size,
-            num_fix=pin,
-            max_iter=int(self.cfg["max_iters"]),
-            pixel_border=float(self.cfg["pixel_border"]),
-            z_eps=float(self.cfg["depth_eps"]),
-            sigma_pixel=float(self.cfg["sigma_pixel"]),
-            sigma_depth=float(self.cfg["sigma_depth"]),
-            C_thresh=float(self.cfg["C_conf"]),
-            Q_thresh=float(self.cfg["Q_conf"]),
-            delta_thresh=float(self.cfg["delta_norm"]),
-            pix_stride=pix_stride,
-            sub_stride=sub_stride, sub_hw=sub_hw,
+            on, **self._calib_statics(img_size),
         )
         self.frames.update_T_WCs(Twc_new[pin:len(unique_kf)],
                                  unique_kf[pin:])
@@ -279,6 +291,77 @@ class FactorGraph:
             self.solve_GN_calib()
         else:
             self.solve_GN_rays()
+
+    # ------------------------------------------------------------------
+    def prewarm(self, edge_batches=(1, 3), solve_buckets=((8, 8), (8, 16),
+                                                          (8, 32), (16, 32),
+                                                          (16, 64))):
+        """Populate the compile caches for the backend's first shape
+        ladder before the run reaches it (VERDICT r04 item 4: a
+        cold-cache run stalled ~20 s mid-sequence when the first
+        retrieval edges hit a never-seen decoder batch; over a remote
+        tunnel every first-shape program costs seconds).
+
+        Each known program variant runs once on zeros — the statics come
+        from the same helpers the live solve uses, so the XLA cache keys
+        match exactly. Intended to run on a background thread while the
+        first frames stream (`SLAMSystem.prewarm`); a live call that
+        races an in-flight compile simply waits on jax's per-program
+        lock and pays nothing extra.
+
+        edge_batches: add_factors edge counts to prewarm (decoder batch
+        2·bucket(E), matcher, edge gate). solve_buckets: (kf_pad,
+        edge_pad) staged-solve shapes — the ladder the first ~25
+        keyframes climb (two-way doubling: Epad = bucket(2E))."""
+        eng = getattr(self.engine, "inner", None) or self.engine
+        if not hasattr(eng, "model"):
+            return  # standalone oracle: nothing compiles
+        h, w = self.frames.h, self.frames.w
+        cfgm = eng.model.cfg
+        P = (h // cfgm.patch_size) * (w // cfgm.patch_size)
+        C = cfgm.enc_embed_dim
+
+        sub_stride, sub_hw, _ = self._stride_params()
+        ns = (sub_hw[0] // sub_stride) * (sub_hw[1] // sub_stride)
+        n = sub_hw[0] * sub_hw[1]
+
+        def zero_feat(E):
+            # feat fp32 (encoder output is LN'd to fp32), pos int32
+            # (patch-grid indices) — dtypes must match the live arrays
+            # or the prewarmed programs miss the cache
+            return (jnp.zeros((E, P, C), jnp.float32),
+                    jnp.zeros((E, P, 2), jnp.int32))
+
+        for E in edge_batches:
+            f, p = zero_feat(E)
+            res = eng.match_symmetric(f, p, f, p)
+            _edge_gate_jit(*res, jnp.float32(self.cfg["Q_conf"]))
+        # consecutive-edge fast path (one-way decode+match)
+        f1, p1 = zero_feat(1)
+        eng.match_oneway(f1, p1, f1, p1)
+
+        use_calib = bool(config.get("use_calib")) and self.K is not None
+        for m_pad, Epad in solve_buckets:
+            Twc_t = tuple(sim3.identity() for _ in range(m_pad))
+            Xs_t = (jnp.zeros((n, 3), jnp.float32),) * m_pad
+            Cs_t = (jnp.ones((n, 1), jnp.float32),) * m_pad
+            Ns = np.ones((m_pad,), np.float32)
+            ii = jnp.zeros((Epad,), jnp.int32)
+            jj = jnp.ones((Epad,), jnp.int32)
+            idx_t = (jnp.zeros((ns,), jnp.int32),) * Epad
+            valid_t = (jnp.zeros((ns,), bool),) * Epad
+            Q_t = (jnp.ones((ns,), jnp.float32),) * Epad
+            on = jnp.zeros((Epad,), jnp.float32).at[:2].set(1.0)
+            if use_calib:
+                pose_graph.gauss_newton_calib_staged(
+                    Twc_t, Xs_t, Cs_t, Ns, self.K, ii, jj, idx_t,
+                    valid_t, Q_t, on, **self._calib_statics((h, w)),
+                )
+            else:
+                pose_graph.gauss_newton_rays_staged(
+                    Twc_t, Xs_t, Cs_t, Ns, ii, jj, idx_t, valid_t, Q_t,
+                    on, **self._rays_statics(),
+                )
 
     # ------------------------------------------------------------------
     # backend-driver API used by SLAMSystem

@@ -46,6 +46,52 @@ def make_rays(h: int, w: int, focal: float) -> np.ndarray:
     return r.reshape(-1, 3)
 
 
+def pan_trajectory(n: int, w: int, plane_d: float = 2.0) -> list:
+    """TUM-like smooth pan over the plane: lateral translation worth
+    ~8% of the image width per frame at the plane depth plus gentle yaw
+    and parallax bob, so keyframe overlap decays ~8%/frame and the
+    data-driven criterion (match_frac_thresh 0.333) fires every ~6-8
+    frames — the realistic TUM cadence the replay benchmarks pinned by
+    hand. Shared by `scripts/bench_system.py --oracle` and the CI twin
+    (`tests/test_closed_loop.py`)."""
+    focal = float(w)
+    px_per_frame = 0.078 * w
+    poses = []
+    for i in range(n):
+        yaw = 0.004 * i
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        T[:3, 3] = [
+            px_per_frame * i * plane_d / focal,
+            0.05 * np.sin(0.4 * i),
+            0.03 * np.sin(0.23 * i),
+        ]
+        poses.append(T)
+    return poses
+
+
+def reloc_pan_trajectory(n: int, w: int, blackout: tuple[int, int],
+                         revisit_back: int = 8,
+                         plane_d: float = 2.0) -> list:
+    """Kidnapped-camera variant for closed-loop RELOC validation: pan as
+    usual until the occlusion window, then re-emerge with the camera
+    back inside the mapped region (`revisit_back` frames before the
+    blackout started) and resume panning from there. Without the
+    revisit, an ~8%/frame pan leaves every keyframe behind during the
+    occlusion and relocalization is geometrically impossible — the
+    failure mode is the scene's, not the system's."""
+    base = pan_trajectory(n + revisit_back, w, plane_d)
+    a, b = blackout
+    out = []
+    for i in range(n):
+        if i >= b:
+            out.append(base[max(a - revisit_back, 0) + (i - b)])
+        else:
+            out.append(base[i])
+    return out
+
+
 class PlaneSceneOracle:
     """Exact-geometry engine over the plane n·X = d.
 
@@ -60,7 +106,9 @@ class PlaneSceneOracle:
 
     def __init__(self, h: int, w: int, focal: float | None = None,
                  plane_n=(0.0, 0.0, 1.0), plane_d: float = 2.0,
-                 inner=None, stride: int = 1):
+                 inner=None, stride: int = 1, noise: float = 0.0,
+                 conf_noise: float = 0.0,
+                 blackout: tuple[int, int] | None = None):
         self.h, self.w = int(h), int(w)
         self.N = self.h * self.w
         self.focal = float(focal if focal is not None else w)
@@ -77,10 +125,44 @@ class PlaneSceneOracle:
         self.hs, self.ws = self.h // self.stride, self.w // self.stride
         self.Ns = self.hs * self.ws
         self.gt: dict[int, np.ndarray] = {}
+        # calibrated prediction noise (VERDICT r04 item 6): `noise` is a
+        # depth-proportional pointmap sigma (0.01 ~ MASt3R-like 1% depth
+        # error); `conf_noise` a lognormal sigma on the confidences;
+        # `blackout` a [a, b) frame-id window modeling full occlusion —
+        # matches invalid, geometry meaningless — which forces a real
+        # tracking loss and exercises the closed-loop RELOC path
+        self.noise = float(noise)
+        self.conf_noise = float(conf_noise)
+        self.blackout = tuple(blackout) if blackout is not None else None
         # closed-loop benchmark host-cost control: per-pose pointmap cache
         # (keyed by pose bytes; trajectories revisit the active keyframe's
         # pose every frame, so this halves the per-frame analytic work)
         self._pm_cache: dict[bytes, np.ndarray] = {}
+
+    # -- noise model -------------------------------------------------------
+    def _rng(self, fid: int, salt: int):
+        seed = (0x9E3779B97F4A7C15 * (2 * int(fid) + 1) + salt) % (1 << 64)
+        return np.random.default_rng(seed)
+
+    def blacked(self, fid: int) -> bool:
+        return (self.blackout is not None
+                and self.blackout[0] <= int(fid) < self.blackout[1])
+
+    def _noisy(self, X: np.ndarray, fid: int, salt: int) -> np.ndarray:
+        if self.noise <= 0.0:
+            return X
+        rng = self._rng(fid, salt)
+        sigma = self.noise * np.abs(X[:, 2:3])
+        return X + rng.standard_normal(X.shape) * sigma
+
+    def _conf(self, n: int, fid: int, salt: int) -> np.ndarray:
+        C = np.full((n, 1), self.CONF, np.float32)
+        if self.conf_noise > 0.0:
+            rng = self._rng(fid, salt)
+            C = C * np.exp(
+                self.conf_noise * rng.standard_normal((n, 1))
+            ).astype(np.float32)
+        return C
 
     # -- ground truth ------------------------------------------------------
     def register(self, frame_id: int, T: np.ndarray):
@@ -186,8 +268,13 @@ class PlaneSceneOracle:
         self.ensure_encoded(frame)
         if self.inner is not None:
             self.inner.inference_mono(frame)  # real cost; output replaced
-        X = self.gt_pointmap_cam(self.gt[frame.frame_id])
-        C = np.full((self.N, 1), self.CONF, np.float32)
+        fid = frame.frame_id
+        if self.blacked(fid):
+            # occluded: geometry is a meaningless constant-depth sheet
+            X = (self.rays * self.d).astype(np.float32)
+        else:
+            X = self._noisy(self.gt_pointmap_cam(self.gt[fid]), fid, 0)
+        C = self._conf(self.N, fid, 1)
         return jnp.asarray(X, jnp.float32), jnp.asarray(C)
 
     def match_asymmetric(self, frame, keyframe, idx_i2j_init=None):
@@ -195,19 +282,23 @@ class PlaneSceneOracle:
         self.ensure_encoded(keyframe)
         if self.inner is not None:
             self.inner.match_asymmetric(frame, keyframe, idx_i2j_init)
-        Tf = self.gt[frame.frame_id]
-        Tk = self.gt[keyframe.frame_id]
+        fid, kid = frame.frame_id, keyframe.frame_id
+        Tf = self.gt[fid]
+        Tk = self.gt[kid]
         # per keyframe pixel: its match in the frame + its GT position in
         # the frame's camera (the decoder's cross-prediction)
         idx, ok, Xkf = self.project_into(Tk, Tf)
-        Xff = self.gt_pointmap_cam(Tf)
+        if self.blacked(fid) or self.blacked(kid):
+            ok = np.zeros_like(ok)
+        Xff = self._noisy(self.gt_pointmap_cam(Tf), fid, 0)
+        Xkf = self._noisy(Xkf, fid, 2)
         ones = np.full((self.N, 1), self.CONF, np.float32)
         return (
             jnp.asarray(idx[None], jnp.int32),
             jnp.asarray(ok[None, :, None]),
-            jnp.asarray(Xff, jnp.float32), jnp.asarray(ones),
+            jnp.asarray(Xff, jnp.float32), jnp.asarray(self._conf(self.N, fid, 1)),
             jnp.asarray(ones),
-            jnp.asarray(Xkf, jnp.float32), jnp.asarray(ones),
+            jnp.asarray(Xkf, jnp.float32), jnp.asarray(self._conf(self.N, fid, 3)),
             jnp.asarray(ones),
         )
 
@@ -227,6 +318,9 @@ class PlaneSceneOracle:
             Ti, Tj = self.gt[fi], self.gt[fj]
             idx_i2j[e], valid_j[e, :, 0], _ = proj(Tj, Ti)
             idx_j2i[e], valid_i[e, :, 0], _ = proj(Ti, Tj)
+            if self.blacked(fi) or self.blacked(fj):
+                valid_j[e] = False
+                valid_i[e] = False
         Q = jnp.full((E, N, 1), self.CONF)
         return (jnp.asarray(idx_i2j, jnp.int32),
                 jnp.asarray(idx_j2i, jnp.int32),
@@ -244,6 +338,8 @@ class PlaneSceneOracle:
         proj = (self.project_into_sub if self.stride > 1
                 else self.project_into)
         idx, ok, _ = proj(self.gt[fj], self.gt[fi])
+        if self.blacked(fi) or self.blacked(fj):
+            ok = np.zeros_like(ok)
         Q = jnp.full((len(idx),), self.CONF)
         return jnp.asarray(idx, jnp.int32), jnp.asarray(ok), Q
 
@@ -256,14 +352,18 @@ class PlaneSceneOracle:
         oracle-vs-network values with `jnp.where(on, ...)`, so XLA must
         still execute the full network + matcher — the closed-loop
         benchmark pays every production device cost."""
-        Tf = self.gt[int(frame_id)]
+        fid = int(frame_id)
+        Tf = self.gt[fid]
         Tk = self.gt[int(kf_frame_id)]
-        Xff = self.gt_pointmap_cam(Tf)
+        Xff = self._noisy(self.gt_pointmap_cam(Tf), fid, 0)
         if self.stride > 1:
             idx, ok, _ = self.project_into_sub(Tk, Tf)
             _, _, Xkf = self.project_into(Tk, Tf)
         else:
             idx, ok, Xkf = self.project_into(Tk, Tf)
+        Xkf = self._noisy(Xkf, fid, 2)
+        if self.blacked(fid) or self.blacked(int(kf_frame_id)):
+            ok = np.zeros_like(ok)
         return {
             "on": jnp.float32(1.0),
             "Xff": jnp.asarray(Xff, jnp.float32),
@@ -271,3 +371,47 @@ class PlaneSceneOracle:
             "idx": jnp.asarray(idx, jnp.int32),
             "valid": jnp.asarray(ok),
         }
+
+
+class OracleRetrieval:
+    """Retrieval-database double for closed-loop reloc validation.
+
+    Candidates are ranked by TRUE view overlap (fraction of the
+    keyframe's pixels visible in the query frame, from GT poses) —
+    modeling an ideal retrieval so the reloc path's REAL machinery
+    (strict add_factors gate, pose seed from the top candidate,
+    pose-graph solve; `backend/factor_graph.py::relocalize`, spec
+    `main.py:76-119`) is exercised deterministically. Pass the real
+    `RetrievalDatabase` as `inner` to also pay its full device+host
+    query cost per event (same wrapping pattern as PlaneSceneOracle).
+
+    Mirrors `RetrievalDatabase.update/add_to_database`: update returns
+    keyframe indices, which here equal add-order positions (every
+    keyframe event adds exactly one entry, in order)."""
+
+    def __init__(self, oracle: PlaneSceneOracle, inner=None,
+                 min_overlap: float = 0.25):
+        self.oracle = oracle
+        self.inner = inner
+        self.min_overlap = float(min_overlap)
+        self.fids: list[int] = []
+
+    def update(self, frame, add_after_query=True, k=3, min_thresh=0.0):
+        if self.inner is not None:
+            self.inner.update(frame, add_after_query=add_after_query,
+                              k=k, min_thresh=min_thresh)
+        Tq = self.oracle.gt[int(frame.frame_id)]
+        scores = []
+        for kf_idx, fid in enumerate(self.fids):
+            _, ok, _ = self.oracle.project_into(self.oracle.gt[fid], Tq)
+            scores.append((float(ok.mean()), kf_idx))
+        top = [i for s, i in sorted(scores, reverse=True)[:int(k)]
+               if s >= self.min_overlap]
+        if add_after_query:
+            self.add_to_database(frame)
+        return top
+
+    def add_to_database(self, frame):
+        if self.inner is not None:
+            self.inner.add_to_database(frame)
+        self.fids.append(int(frame.frame_id))

@@ -136,6 +136,33 @@ class SLAMSystem:
         self.viz_queue = viz_queue
 
     # ------------------------------------------------------------------
+    def prewarm(self, background: bool = True):
+        """Compile the known program ladder before the run reaches it
+        (VERDICT r04 item 4: cold-cache runs stalled ~20 s mid-sequence
+        on first-shape backend compiles). Frontend programs (encode +
+        fused step) compile on frame 0 regardless; what this buys is the
+        BACKEND ladder — decoder edge batches, the edge gate, and the
+        staged solve buckets — compiled on a daemon thread while the
+        first frames stream. Populated programs land in jax's in-process
+        and persistent caches; a live call racing an in-flight compile
+        waits on the per-program lock and pays only the remainder."""
+        if self.backend is None or not hasattr(self.backend, "prewarm"):
+            return None
+
+        def _run():
+            try:
+                self.backend.prewarm()
+            except Exception as e:  # prewarm is best-effort by design
+                print(f"[prewarm] backend prewarm failed: {e!r}")
+
+        if not background:
+            _run()
+            return None
+        t = threading.Thread(target=_run, daemon=True, name="prewarm")
+        t.start()
+        return t
+
+    # ------------------------------------------------------------------
     def _run_backend_task(self, kf_idx: int, is_reloc_frame=None):
         if self.backend is None:
             return True

@@ -37,32 +37,28 @@ N_FRAMES = 18
 
 
 def _trajectory(n, w=W, plane_d=2.0):
-    """Same shape as `scripts/bench_system.py::oracle_trajectory`:
-    ~8%-of-width lateral pan per frame + gentle yaw/bob, so the
-    data-driven keyframe criterion fires every ~6-8 frames."""
-    focal = float(w)
-    px_per_frame = 0.078 * w
-    poses = []
-    for i in range(n):
-        yaw = 0.004 * i
-        c, s = np.cos(yaw), np.sin(yaw)
-        T = np.eye(4)
-        T[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
-        T[:3, 3] = [
-            px_per_frame * i * plane_d / focal,
-            0.05 * np.sin(0.4 * i),
-            0.03 * np.sin(0.23 * i),
-        ]
-        poses.append(T)
-    return poses
+    """Shared with `scripts/bench_system.py --oracle`: ~8%-of-width
+    lateral pan per frame + gentle yaw/bob, so the data-driven keyframe
+    criterion fires every ~6-8 frames."""
+    from splatt3r_slam_tpu.runtime.oracle import pan_trajectory
+
+    return pan_trajectory(n, w, plane_d)
 
 
-def _run_closed_loop(fused: bool):
+def _run_closed_loop(fused: bool, n_frames: int = N_FRAMES,
+                     noise: float = 0.0, conf_noise: float = 0.0,
+                     blackout=None, with_reloc: bool = False,
+                     poses=None):
     """Drive the closed loop with a tiny real model wrapped by the
     oracle. fused=True exercises the single-dispatch production frontend
     at the production matching stride (oracle geometry injected inside
     the step — VERDICT r04 item 1); fused=False the modular tracker at
-    full-res matching. Restores the global config afterwards."""
+    full-res matching. noise/blackout add calibrated prediction noise
+    and an occlusion window (item 6); with_reloc attaches the
+    GT-overlap-ranked retrieval double so RELOC can recover. Restores
+    the global config afterwards."""
+    from splatt3r_slam_tpu.runtime.oracle import OracleRetrieval
+
     cfgmod.load_config(str(ROOT / "config" / "base.yaml"))
     stride = int(cfgmod.config["matching"]["match_stride"]) if fused else 1
     if not fused:
@@ -74,18 +70,28 @@ def _run_closed_loop(fused: bool):
         engine = InferenceEngine(model, params, H, W)
         oracle = PlaneSceneOracle(H, W, float(W),
                                   plane_n=(0.12, 0.08, 1.0),
-                                  plane_d=2.0, inner=engine, stride=stride)
+                                  plane_d=2.0, inner=engine, stride=stride,
+                                  noise=noise, conf_noise=conf_noise,
+                                  blackout=blackout)
         sysm = SLAMSystem(oracle, H, W, fused=fused)
-        sysm.backend = FactorGraph(oracle, sysm.keyframes)
+        retrieval = OracleRetrieval(oracle) if with_reloc else None
+        sysm.backend = FactorGraph(oracle, sysm.keyframes,
+                                   retrieval=retrieval)
 
         rng = np.random.default_rng(0)
         tex = rng.random((H, W, 3)).astype(np.float32)
-        poses = _trajectory(N_FRAMES)
-        modes = []
+        if poses is None:
+            poses = _trajectory(n_frames)
+        modes, reloc_ok = [], 0
         for i, T in enumerate(poses):
             oracle.register(i, T)
-            sysm.process_frame(create_frame(i, tex.copy(), img_size=W))
+            pre = sysm.mode
+            _, flag = sysm.process_frame(
+                create_frame(i, tex.copy(), img_size=W))
+            if pre == Mode.RELOC and flag:
+                reloc_ok += 1
             modes.append(sysm.mode)
+        sysm.reloc_successes = reloc_ok
         return sysm, oracle, modes
     finally:
         cfgmod.load_config(str(ROOT / "config" / "base.yaml"))
@@ -200,3 +206,89 @@ def test_fused_closed_loop_real_dispatches_ran(closed_loop_fused_run):
     kf = sysm.keyframes.last_keyframe()
     feat = np.asarray(kf.feat)
     assert feat.size > 1 and np.abs(feat[0, 1:, :]).max() > 0
+
+
+# ---------------------------------------------------------------------------
+# noise-calibrated closed loop with a real tracking loss + relocalization
+# (VERDICT r04 item 6): fused frontend, ~1% depth-proportional pointmap
+# noise, an occlusion window that trips the tracking gate, ideal-ranked
+# retrieval driving the REAL reloc machinery (strict gate, pose reseed,
+# pose-graph solve)
+# ---------------------------------------------------------------------------
+
+BLACKOUT = (16, 20)
+N_NOISY = 30
+
+
+@pytest.fixture(scope="module")
+def noisy_reloc_run():
+    # kidnapped-camera trajectory: the camera re-emerges from the
+    # occlusion back inside the mapped region — without the revisit, an
+    # 8%/frame pan leaves every keyframe behind and relocalization is
+    # geometrically impossible (the scene's failure, not the system's)
+    from splatt3r_slam_tpu.runtime.oracle import reloc_pan_trajectory
+
+    poses = reloc_pan_trajectory(N_NOISY, W, BLACKOUT)
+    return _run_closed_loop(fused=True, n_frames=N_NOISY, noise=0.01,
+                            conf_noise=0.2, blackout=BLACKOUT,
+                            with_reloc=True, poses=poses)
+
+
+def test_noisy_closed_loop_enters_and_recovers_reloc(noisy_reloc_run):
+    """The occlusion window must cause a REAL tracking loss (RELOC
+    entered by the production gate, not injected), and the system must
+    relocalize at least once and finish the sequence tracking."""
+    sysm, _, modes = noisy_reloc_run
+    assert any(m == Mode.RELOC for m in modes), "blackout never tripped"
+    assert sysm.reloc_successes >= 1, "no successful relocalization"
+    assert modes[-1] == Mode.TRACKING, "never recovered from RELOC"
+    # RELOC is confined to the blackout neighborhood, not chronic
+    assert all(m != Mode.RELOC for m in modes[: BLACKOUT[0]])
+
+
+def test_noisy_closed_loop_cadence_sane(noisy_reloc_run):
+    """Keyframe cadence under noise stays in the designed range: the
+    ~8%/frame overlap decay plus noise jitter may fire slightly more
+    often than the exact-geometry run, never degenerate (every frame) or
+    dead (INIT only)."""
+    sysm, _, _ = noisy_reloc_run
+    n_kf = len(sysm.keyframes)
+    assert 4 <= n_kf <= 12, f"{n_kf} keyframes for {N_NOISY} frames"
+
+
+def test_noisy_closed_loop_ate_bounded(noisy_reloc_run):
+    """Keyframe ATE with 1% depth noise + a mid-sequence reloc stays
+    bounded: per-correspondence noise is ~2 cm at the 2 m plane, the GN
+    averages ~768 subgrid matches, and the backend redistributes drift
+    after the reloc re-anchors."""
+    sysm, oracle, _ = noisy_reloc_run
+    est = np.stack([np.asarray(sim3.matrix(kf.T_WC))[:3, 3]
+                    for kf in sysm.keyframes])
+    gt = np.stack([oracle.gt[kf.frame_id][:3, 3]
+                   for kf in sysm.keyframes])
+    s, R, t = umeyama_alignment(est, gt)
+    err = (s * (R @ est.T)).T + t - gt
+    rmse = float(np.sqrt((err ** 2).sum(axis=1).mean()))
+    assert rmse < 0.25, f"noisy closed-loop ATE {rmse:.4f} beyond budget"
+
+
+def test_backend_prewarm_smoke():
+    """FactorGraph.prewarm compiles the backend shape ladder on zeros
+    without touching system state (VERDICT r04 item 4); a subsequent
+    add_factors-shaped call hits the warmed cache."""
+    cfgmod.load_config(str(ROOT / "config" / "base.yaml"))
+    try:
+        cfg = TwoViewConfig(dtype="float32", head_dtype="float32").tiny()
+        model, params = init_model(cfg, H, W)
+        engine = InferenceEngine(model, params, H, W)
+        sysm = SLAMSystem(engine, H, W)
+        sysm.backend = FactorGraph(engine, sysm.keyframes)
+        t = sysm.prewarm()
+        assert t is not None
+        t.join(timeout=600)
+        assert not t.is_alive()
+        # prewarm must not have touched graph or keyframe state
+        assert len(sysm.backend.ii) == 0
+        assert len(sysm.keyframes) == 0
+    finally:
+        cfgmod.load_config(str(ROOT / "config" / "base.yaml"))
