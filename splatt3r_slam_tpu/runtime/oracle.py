@@ -242,7 +242,9 @@ class PlaneSceneOracle:
         # only represent integers exactly up to 256 — a silently rounded
         # id would corrupt ground-truth recovery in match_symmetric
         fid = float(frame.frame_id)
-        if float(jnp.asarray(fid, frame.feat.dtype)) != fid:
+        # representability check on HOST dtypes (ml_dtypes covers bf16);
+        # a device-scalar roundtrip here would sync the tunnel per frame
+        if float(np.array(fid, np.dtype(frame.feat.dtype))) != fid:
             raise ValueError(
                 f"frame_id {frame.frame_id} not exactly representable in "
                 f"feature dtype {frame.feat.dtype}; cap the oracle run "
@@ -345,32 +347,32 @@ class PlaneSceneOracle:
 
     def fused_inputs(self, frame_id: int, kf_frame_id: int) -> dict:
         """Per-frame oracle inputs for the fused single-dispatch tracking
-        step (`runtime/fused.py` with_oracle=True): the frame's exact
-        pointmap, the keyframe pixels' exact points in the frame's
-        camera (the cross-prediction slot), and exact subgrid matches.
-        `on` is a RUNTIME scalar predicate: the fused step selects
-        oracle-vs-network values with `jnp.where(on, ...)`, so XLA must
-        still execute the full network + matcher — the closed-loop
-        benchmark pays every production device cost."""
+        step (`runtime/fused.py` with_oracle=True). The geometry itself
+        (exact pointmaps, cross-prediction, subgrid matches) is generated
+        ON DEVICE inside the step (`fused._oracle_geometry`) from the two
+        GT poses — per frame the host ships a few dozen floats, not
+        megabytes of pointmaps (the v5e closed loop is transfer-bound
+        over the remote tunnel otherwise). `on` is a RUNTIME scalar
+        predicate: the step selects oracle-vs-network values with
+        `jnp.where(on, ...)`, so XLA must still execute the full
+        network + matcher — the benchmark pays every production device
+        cost. Pointmap noise rides a per-frame `fold_in(fid)` device
+        RNG; `conf_noise` applies only to the modular/mono paths."""
         fid = int(frame_id)
-        Tf = self.gt[fid]
-        Tk = self.gt[int(kf_frame_id)]
-        Xff = self._noisy(self.gt_pointmap_cam(Tf), fid, 0)
-        if self.stride > 1:
-            idx, ok, _ = self.project_into_sub(Tk, Tf)
-            _, _, Xkf = self.project_into(Tk, Tf)
-        else:
-            idx, ok, Xkf = self.project_into(Tk, Tf)
-        Xkf = self._noisy(Xkf, fid, 2)
-        if self.blacked(fid) or self.blacked(int(kf_frame_id)):
-            ok = np.zeros_like(ok)
-        return {
+        blk = self.blacked(fid) or self.blacked(int(kf_frame_id))
+        out = {
             "on": jnp.float32(1.0),
-            "Xff": jnp.asarray(Xff, jnp.float32),
-            "Xkf": jnp.asarray(Xkf, jnp.float32),
-            "idx": jnp.asarray(idx, jnp.int32),
-            "valid": jnp.asarray(ok),
+            "T_f": jnp.asarray(self.gt[fid], jnp.float32),
+            "T_k": jnp.asarray(self.gt[int(kf_frame_id)], jnp.float32),
+            "plane_n": jnp.asarray(self.n, jnp.float32),
+            "plane_d": jnp.float32(self.d),
+            "focal": jnp.float32(self.focal),
+            "fid": jnp.int32(fid),
+            "ok": jnp.float32(0.0 if blk else 1.0),
         }
+        if self.noise > 0.0:
+            out["sigma"] = jnp.float32(self.noise)
+        return out
 
 
 class OracleRetrieval:
