@@ -126,7 +126,21 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
                                    retrieval=retrieval)
         return oracle, sysm
 
-    def drive(oracle, sysm, collect=None):
+    def instrument(sysm, sink):
+        import time as _t
+
+        inner = sysm._run_backend_task
+
+        def timed(kf_idx, is_reloc_frame=None):
+            ts = _t.time()
+            try:
+                return inner(kf_idx, is_reloc_frame)
+            finally:
+                sink.append((kf_idx, _t.time() - ts))
+
+        sysm._run_backend_task = timed
+
+    def drive(oracle, sysm, collect=None, drain_s=None):
         relocs, reloc_ok, was_reloc = 0, 0, False
         t0 = time.time()
         for i in range(n):
@@ -146,10 +160,18 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
             was_reloc = in_reloc
             if collect is not None:
                 collect.append((time.time() - tf0, bool(new_kf)))
+        td0 = time.time()
         if not bool(cfgmod.config.get("single_thread", True)):
             sysm._drain_backend()
             sysm._stop = True
-        return n / (time.time() - t0), relocs, reloc_ok
+        if drain_s is not None:
+            drain_s[0] = time.time() - td0
+        # loop FPS = reference semantics (main.py:533-535 measures the
+        # frame loop; the backend runs concurrently and is never drained
+        # into the FPS print) — same convention as the cadence bench.
+        # Wall FPS incl. the final queue drain is reported separately.
+        return (n / (td0 - t0), n / (time.time() - t0), relocs,
+                reloc_ok)
 
     # warmup run pays every compile (incl. backend edge buckets grown to
     # the full keyframe count); timed run then measures steady state
@@ -160,9 +182,11 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
     del warm, oracle_w
     gc.collect()
 
-    times = []
+    times, task_times, drain_s = [], [], [0.0]
     oracle, sysm = build()
-    fps, relocs, reloc_ok = drive(oracle, sysm, collect=times)
+    instrument(sysm, task_times)
+    fps, wall_fps, relocs, reloc_ok = drive(oracle, sysm, collect=times,
+                                            drain_s=drain_s)
 
     est = np.stack([np.asarray(sim3.matrix(kf.T_WC))[:3, 3]
                     for kf in sysm.keyframes])
@@ -178,6 +202,7 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
         "metric": f"{base}_fps_512x384" if not args.tiny
         else f"{base}_fps_tiny",
         "value": round(fps, 3),
+        "wall_fps_incl_drain": round(wall_fps, 3),
         "unit": "frames/s",
         "mode": "oracle_closed_loop",
         "frontend": "fused" if args.fused else "modular",
@@ -197,6 +222,10 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
         if track_t else None,
         "t_kf_event_p50_ms": round(1e3 * float(np.median(kf_t)), 1)
         if kf_t else None,
+        "t_drain_s": round(drain_s[0], 2),
+        "backend_task_ms": [[int(k), round(1e3 * t, 1)]
+                            for k, t in task_times],
+        "frame_ms": [round(1e3 * t, 1) for t, _ in times],
         "note": "real network dispatches at full device cost; outputs "
                 "replaced by exact plane geometry (runtime/oracle.py) so "
                 "keyframing/GN/backend run genuinely closed-loop; FPS is "

@@ -307,8 +307,10 @@ class PlaneSceneOracle:
     def match_symmetric(self, feat_i, pos_i, feat_j, pos_j):
         if self.inner is not None:
             self.inner.match_symmetric(feat_i, pos_i, feat_j, pos_j)
-        ids_i = np.rint(np.asarray(feat_i)[:, 0, 0]).astype(int)
-        ids_j = np.rint(np.asarray(feat_j)[:, 0, 0]).astype(int)
+        # slice on device, pull E scalars — not the (E, P, C) tensors
+        # (a ~12 MB/event fetch over a remote tunnel otherwise)
+        ids_i = np.rint(np.asarray(feat_i[:, 0, 0])).astype(int)
+        ids_j = np.rint(np.asarray(feat_j[:, 0, 0])).astype(int)
         proj = (self.project_into_sub if self.stride > 1
                 else self.project_into)
         E, N = len(ids_i), (self.Ns if self.stride > 1 else self.N)
@@ -335,8 +337,8 @@ class PlaneSceneOracle:
         pixels located in i's image."""
         if self.inner is not None:
             self.inner.match_oneway(feat_i, pos_i, feat_j, pos_j)
-        fi = int(np.rint(np.asarray(feat_i)[0, 0, 0]))
-        fj = int(np.rint(np.asarray(feat_j)[0, 0, 0]))
+        fi = int(np.rint(np.asarray(feat_i[0, 0, 0])))
+        fj = int(np.rint(np.asarray(feat_j[0, 0, 0])))
         proj = (self.project_into_sub if self.stride > 1
                 else self.project_into)
         idx, ok, _ = proj(self.gt[fj], self.gt[fi])
