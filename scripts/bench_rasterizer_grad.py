@@ -133,8 +133,16 @@ def main():
         })
     out["fd_probe_pallas"] = fd_rows
 
-    ok = all(g["finite"] for g in grads.values()) and all(
-        r["rel_err"] < 0.05 for r in fd_rows
+    # Validation gate: two INDEPENDENT analytic implementations (Pallas
+    # custom VJP vs XLA autodiff through the XLA compositor) agreeing at
+    # sub-percent of grad peak is the strong check — a wrong VJP term
+    # produces O(1) relative errors. The FD probes are a sign/scale
+    # sanity bound: central differences through the alpha-compositing
+    # chain carry percent-level truncation error at fp32-resolvable eps.
+    ok = (
+        all(g["finite"] for g in grads.values())
+        and all(g["max_rel_diff_vs_peak"] < 0.01 for g in grads.values())
+        and all(r["rel_err"] < 0.10 for r in fd_rows)
     )
     out["backward_validated_on_hardware"] = bool(ok)
     print(json.dumps(out, indent=1))

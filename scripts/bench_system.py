@@ -286,6 +286,11 @@ def main():
                          "the fused step behind a runtime predicate, so "
                          "the full network+matcher device cost is paid "
                          "(VERDICT r04 item 1)")
+    ap.add_argument("--match-stride", type=int, default=0,
+                    help="override matching.match_stride (0 = config "
+                         "default; with --oracle --fused, 1 gives the "
+                         "eval-profile reference-exact full-res matching "
+                         "closed loop)")
     ap.add_argument("--noise", type=float, default=0.0,
                     help="with --oracle: depth-proportional pointmap "
                          "noise sigma (0.01 ~ MASt3R-like 1%% depth "
@@ -339,6 +344,8 @@ def main():
         # pin the keyframe cadence: no data-driven keyframes, no reloc
         cfgmod.config["tracking"]["match_frac_thresh"] = -1.0
         cfgmod.config["tracking"]["min_match_frac"] = 0.0
+    if args.match_stride:
+        cfgmod.config["matching"]["match_stride"] = int(args.match_stride)
     if args.oracle and not args.fused:
         # the MODULAR tracker consumes full-resolution analytic indices;
         # the TPU subgrid fast path would misread them. The fused mode
