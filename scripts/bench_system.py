@@ -178,6 +178,11 @@ def run_oracle_closed_loop(args, engine, cfg, h, w, cfgmod):
     import gc
 
     oracle_w, warm = build()
+    if args.prewarm:
+        # foreground: the full backend shape ladder (incl. edge buckets
+        # the warmup trajectory never happens to hit) lands in the
+        # compile caches before anything is timed
+        warm.prewarm(background=False)
     drive(oracle_w, warm)
     del warm, oracle_w
     gc.collect()
