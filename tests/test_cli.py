@@ -24,6 +24,7 @@ def test_main_cli_rgb_folder(tmp_path):
 
     env = dict(__import__("os").environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["HF_HUB_OFFLINE"] = "1"  # skip checkpoint-resolve DNS retries
     out = subprocess.run(
         [sys.executable, str(ROOT / "main.py"),
          "--dataset", str(seq),
@@ -62,6 +63,7 @@ def test_main_cli_render_export(tmp_path):
 
     env = dict(__import__("os").environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["HF_HUB_OFFLINE"] = "1"  # skip checkpoint-resolve DNS retries
     out = subprocess.run(
         [sys.executable, str(ROOT / "main.py"),
          "--dataset", str(seq),
